@@ -1,0 +1,195 @@
+"""PartsBasedDetector: the public detect() API.
+
+API parity with the reference detector
+(include/PartsBasedDetector.hpp:167-175): construct, distribute_model(),
+name(), detect(image[, depth]) -> candidates. Internally, one jitted
+function per image shape runs the whole pipeline on device:
+
+    HOG pyramid (matmul resampling + conv histograms)
+      -> batched part-filter responses per octave bucket
+      -> -inf valid-extent masking
+      -> tree min-sum DP (batched DT + mixture max)
+      -> top-k thresholded backtracking
+
+Only final dense candidate tensors leave the device. Compilation is
+cached per (model, image-shape, engine).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.model import Model, PackedModel, pack_model
+from .ops.conv import filter_responses, filter_responses_fft
+from .ops.dp import backtrack, tree_min_sum
+from .ops.pyramid import (
+    build_plan,
+    build_pyramid_features,
+    mask_responses,
+    response_valid_extents,
+)
+from .types import Candidate, DetectionResult
+
+NEG_INF = -jnp.inf
+
+
+class PartsBasedDetector:
+    """TPU-native flexible-mixtures-of-parts detector.
+
+    Args:
+      model: canonical Model (optional; call distribute_model later).
+      max_detections: static per-image candidate budget.
+      conv_engine: "spatial" (batched XLA conv) or "fourier" (FFT path,
+          the intended FourierConvolutionEngine behavior).
+      dtype: compute dtype (float32 for reference parity).
+    """
+
+    def __init__(
+        self,
+        model: Optional[Model] = None,
+        max_detections: int = 256,
+        conv_engine: str = "spatial",
+        dtype=jnp.float32,
+    ):
+        if conv_engine not in ("spatial", "fourier"):
+            raise ValueError(f"unknown conv engine: {conv_engine}")
+        self.max_detections = int(max_detections)
+        self.conv_engine = conv_engine
+        self.dtype = dtype
+        self._packed: Optional[PackedModel] = None
+        self._fns: Dict[Tuple[int, int], object] = {}
+        if model is not None:
+            self.distribute_model(model)
+
+    # -- reference API surface ------------------------------------------------
+
+    def distribute_model(self, model: Model) -> None:
+        """Pack the model into dense device form and reset caches
+        (ref: src/PartsBasedDetector.cpp:102-127)."""
+        self._packed = pack_model(model)
+        self._fns.clear()
+
+    @property
+    def name(self) -> str:
+        return self._packed.name if self._packed else ""
+
+    def detect(
+        self, im: np.ndarray, depth: Optional[np.ndarray] = None
+    ) -> List[Candidate]:
+        """Detect candidates in an (H, W, 3) image, best first.
+
+        If a depth map is given, candidates are additionally filtered for
+        part depth consistency (ref: SearchSpacePruning; see depth.py).
+        """
+        result = self.detect_dense(im)
+        candidates = result.to_candidates()
+        if depth is not None:
+            from .depth import filter_candidates_by_depth
+
+            candidates = filter_candidates_by_depth(
+                self._packed, candidates, depth
+            )
+        return candidates
+
+    # -- dense device API ------------------------------------------------------
+
+    def detect_dense(self, im: np.ndarray) -> DetectionResult:
+        """Run detection, returning dense padded arrays (host copies)."""
+        fn = self._get_fn(im.shape[:2])
+        boxes, scores, comps, valid, _ = fn(jnp.asarray(im, self.dtype))
+        return DetectionResult(
+            boxes=np.asarray(boxes),
+            scores=np.asarray(scores),
+            components=np.asarray(comps),
+            valid=np.asarray(valid),
+        )
+
+    def detect_fn(self, imsize: Tuple[int, int]):
+        """The raw jitted function for an image shape; returns
+        (boxes, scores, components, valid, mixtures). Useful for vmap /
+        shard_map composition (see parallel/)."""
+        return self._get_fn(imsize)
+
+    # -- internals --------------------------------------------------------------
+
+    def _get_fn(self, imsize: Tuple[int, int]):
+        if self._packed is None:
+            raise RuntimeError("distribute_model() must be called first")
+        key = (int(imsize[0]), int(imsize[1]))
+        if key not in self._fns:
+            self._fns[key] = jax.jit(self._build_fn(key))
+        return self._fns[key]
+
+    def _build_fn(self, imsize: Tuple[int, int]):
+        packed = self._packed
+        spec = packed.spec
+        fh_max, fw_max = packed.filters.shape[1], packed.filters.shape[2]
+        plan = build_plan(imsize, spec, fh_max, fw_max)
+        conv = (
+            filter_responses
+            if self.conv_engine == "spatial"
+            else filter_responses_fft
+        )
+        max_det = self.max_detections
+        p_max = packed.max_nparts
+
+        def fn(im: jax.Array):
+            im = im.astype(self.dtype)
+            feats = build_pyramid_features(im, plan, spec)
+            filters = jnp.asarray(packed.filters, self.dtype)
+
+            boxes_l, scores_l, mix_l, valid_l, comp_l = [], [], [], [], []
+            for b, bucket in enumerate(plan.buckets):
+                resp = conv(feats[b], filters)
+                vh, vw = response_valid_extents(
+                    plan, bucket, packed.filter_sizes
+                )
+                resp = mask_responses(resp, vh, vw)
+                box_scales = jnp.asarray(
+                    [plan.scales[s].box_scale for s in bucket.scale_indices],
+                    self.dtype,
+                )
+                for c, comp in enumerate(packed.components):
+                    rootv, rooti, tables = tree_min_sum(resp, comp)
+                    bx, sc, mx, vd = backtrack(
+                        rootv,
+                        rooti,
+                        tables,
+                        comp,
+                        box_scales,
+                        box_off_x=-spec.padx,
+                        box_off_y=-spec.pady,
+                        thresh=spec.thresh,
+                        max_det=max_det,
+                    )
+                    pc = comp.nparts
+                    if pc < p_max:  # pad part dim across components
+                        bx = jnp.pad(bx, ((0, 0), (0, p_max - pc), (0, 0)))
+                        mx = jnp.pad(mx, ((0, 0), (0, p_max - pc)))
+                    boxes_l.append(bx)
+                    scores_l.append(sc)
+                    mix_l.append(mx)
+                    valid_l.append(vd)
+                    comp_l.append(jnp.full(sc.shape, c, jnp.int32))
+
+            boxes = jnp.concatenate(boxes_l, axis=0)
+            scores = jnp.concatenate(scores_l, axis=0)
+            mixtures = jnp.concatenate(mix_l, axis=0)
+            valid = jnp.concatenate(valid_l, axis=0)
+            comps = jnp.concatenate(comp_l, axis=0)
+
+            masked = jnp.where(valid, scores, NEG_INF)
+            top, order = jax.lax.top_k(masked, max_det)
+            return (
+                boxes[order],
+                top,
+                comps[order],
+                top > NEG_INF,
+                mixtures[order],
+            )
+
+        return fn

@@ -1,0 +1,129 @@
+"""Generalized quadratic distance transforms as batched max-plus passes.
+
+The reference computes these with a sequential lower-envelope scan per
+row (include/DistanceTransform.hpp:152-182, matlab/mex/shiftdt.cc:17-51).
+That algorithm is O(N) but inherently serial and branchy — the worst
+possible shape for a TPU. The TPU-native formulation evaluates the
+separable transform directly:
+
+    out[..., qy, qx] = max_{vy, vx}  fy(qy - vy) + fx(qx - vx) + src[..., vy, vx]
+
+as two batched (dlen, N) broadcast-and-reduce passes on the VPU. That is
+O(N^2) per row instead of O(N), but every output element is independent,
+so the whole (scales x parts x mixtures x rows) batch becomes one fused
+elementwise+reduce kernel with zero control flow; for feature-map sized
+N the arithmetic is far cheaper than the serialization it removes.
+
+Argmax parity: jnp.argmax takes the *first* maximum, which matches the
+envelope algorithm's preference for the smaller source index at
+intersection ties (the `while (z[k+1] < q)` strict comparison in
+shiftdt.cc:42-43). Property tests verify exact score and argmax equality
+against ops/reference.dt1d_envelope.
+
+Conventions:
+  - Deformation weights are the model's positive costs
+    [wx2, wx1, wy2, wy1]; they are negated here, exactly as
+    DynamicProgram.cpp:126-127 and shiftdt.cc:70-73 do.
+  - The output grid is q = shift + i*step (0-based), the "shiftdt
+    superset" that also covers the C++ anchor-offset grid (step=1,
+    dlen=input length).
+  - Pointer composition follows the MATLAB/`shiftdt` authority: y-pass
+    first, x-pass second, Iy = tmpIy gathered at Ix
+    (shiftdt.cc:95-108). SURVEY.md §7 flags the C++ composition order
+    as defective; we implement the correct one.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _dt1d(
+    src: jax.Array,
+    a: jax.Array,
+    b: jax.Array,
+    shift: jax.Array,
+    dlen: int,
+    step: int,
+) -> tuple[jax.Array, jax.Array]:
+    """1-D max-plus transform along the last axis.
+
+    src: (..., N); a, b, shift broadcastable to src.shape[:-1].
+    Returns (out (..., dlen), argmax int32 (..., dlen)).
+    """
+    n = src.shape[-1]
+    dtype = src.dtype
+    v = jnp.arange(n, dtype=dtype)
+    i = jnp.arange(dlen, dtype=dtype)
+    q = shift[..., None].astype(dtype) + step * i  # (..., dlen)
+    d = q[..., :, None] - v  # (..., dlen, N)
+    a_ = a[..., None, None].astype(dtype)
+    b_ = b[..., None, None].astype(dtype)
+    vals = (a_ * d + b_) * d + src[..., None, :]
+    out = jnp.max(vals, axis=-1)
+    ptr = jnp.argmax(vals, axis=-1).astype(jnp.int32)
+    return out, ptr
+
+
+def shift_distance_transform_2d(
+    score: jax.Array,
+    wdef: jax.Array,
+    shift_x: jax.Array,
+    shift_y: jax.Array,
+    dlen_x: int,
+    dlen_y: int,
+    step: int = 1,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """2-D shifted/subsampled generalized DT.
+
+    score: (..., H, W) child score maps (use -inf padding for invalid
+        regions; padded sources can never win the max).
+    wdef: (..., 4) positive deformation costs [wx2, wx1, wy2, wy1].
+    shift_x / shift_y: broadcastable to score.shape[:-2], 0-based output
+        grid origins (MATLAB startx/starty minus 1).
+    Returns (msg, Ix, Iy), each (..., dlen_y, dlen_x); Ix/Iy are 0-based
+    source coordinates in the child grid.
+    """
+    ax, bx = -wdef[..., 0], -wdef[..., 1]
+    ay, by = -wdef[..., 2], -wdef[..., 3]
+
+    # y pass over columns: (..., H, W) -> (..., W, H) -> dt -> (..., W, dlen_y)
+    src_t = jnp.swapaxes(score, -1, -2)
+    tmp, tmp_iy = _dt1d(
+        src_t,
+        ay[..., None],
+        by[..., None],
+        jnp.asarray(shift_y)[..., None],
+        dlen_y,
+        step,
+    )
+    tmp = jnp.swapaxes(tmp, -1, -2)  # (..., dlen_y, W)
+    tmp_iy = jnp.swapaxes(tmp_iy, -1, -2)
+
+    # x pass over rows of the intermediate
+    msg, ix = _dt1d(
+        tmp,
+        ax[..., None],
+        bx[..., None],
+        jnp.asarray(shift_x)[..., None],
+        dlen_x,
+        step,
+    )
+    iy = jnp.take_along_axis(tmp_iy, ix, axis=-1)
+    return msg, ix, iy
+
+
+def distance_transform_2d(
+    score: jax.Array,
+    wdef: jax.Array,
+    anchor_x: jax.Array,
+    anchor_y: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Same-size anchored DT — the C++ detect() grid
+    (src/DynamicProgram.cpp:124-128): output grid q = anchor + i, output
+    size equals input size."""
+    h, w = score.shape[-2], score.shape[-1]
+    return shift_distance_transform_2d(
+        score, wdef, anchor_x, anchor_y, dlen_x=w, dlen_y=h, step=1
+    )

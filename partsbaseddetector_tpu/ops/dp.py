@@ -1,0 +1,163 @@
+"""Tree min-sum dynamic program + backtracking, batched over scales.
+
+The reference runs an OpenMP loop over (scale, component), and inside it
+a sequential leaves->root part loop of per-mixture distance transforms,
+mixture max-reductions and score accumulations
+(src/DynamicProgram.cpp:80-172, detect_fast.m:40-48 / passmsg). Parts
+are stored root-first (parentid[p] < p), so the descending part loop is
+a valid topological schedule.
+
+TPU-native re-design: the part loop stays (it is a true data
+dependence), but every step is batched over (scales-in-bucket, mixtures,
+rows) — the distance transform, the (L_parent, K_child) bias-max
+combine, and the accumulation are all dense tensor ops on (S, M, H, W)
+blocks. Invalid regions and padded mixture slots carry -inf and can
+never win a max, so no ragged bookkeeping survives on device.
+
+Mixture combination semantics follow passmsg (detect_fast.m:118-141):
+msg_l = max_k (DT(score_k) + bias[l, k]), pointer tables Ix/Iy/Ik are
+stored per parent mixture. Root scoring adds the per-root-mixture bias
+then maxes over mixtures (detect_fast.m:46-48; the C++ scalar-bias
+broadcast at DynamicProgram.cpp:165-169 is flagged defective in
+SURVEY.md §7 — MATLAB semantics are implemented).
+
+Backtracking mirrors detect_fast.m:144-177: threshold the root map,
+then walk the tree root->leaves through the pointer tables with pure
+gathers, vectorized over a static top-k candidate budget.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.model import PackedComponent
+from .distance_transform import shift_distance_transform_2d
+
+NEG_INF = -jnp.inf
+
+
+def tree_min_sum(
+    resp: jax.Array,
+    comp: PackedComponent,
+) -> Tuple[jax.Array, jax.Array, Dict[int, Tuple[jax.Array, jax.Array, jax.Array]]]:
+    """Min-sum message passing for one component over a scale bucket.
+
+    resp: (S, Hr, Wr, F) filter responses, -inf outside valid extents.
+    Returns (rootv (S, Hr, Wr), rooti (S, Hr, Wr) int32,
+    tables {p: (Ix, Iy, Ik)} each (S, M, Hr, Wr) indexed by parent
+    mixture).
+    """
+    s, hr, wr, _ = resp.shape
+    p_total, m_total = comp.filterid.shape
+    dtype = resp.dtype
+
+    def part_score(p: int) -> jax.Array:
+        idx = np.asarray(comp.filterid[p])  # static gather
+        return jnp.moveaxis(resp[..., idx], -1, 1)  # (S, M, Hr, Wr)
+
+    acc: Dict[int, jax.Array] = {}
+    tables: Dict[int, Tuple[jax.Array, jax.Array, jax.Array]] = {}
+
+    for p in range(p_total - 1, 0, -1):
+        score = part_score(p)
+        if p in acc:
+            score = score + acc.pop(p)
+
+        dt, ix, iy = shift_distance_transform_2d(
+            score,
+            jnp.asarray(comp.defw[p], dtype),  # (M, 4)
+            jnp.asarray(comp.shift_x[p]),  # (M,)
+            jnp.asarray(comp.shift_y[p]),
+            dlen_x=wr,
+            dlen_y=hr,
+            step=int(comp.step[p]),
+        )
+
+        # combine child mixtures per parent mixture l:
+        # (S, 1, K, H, W) + (L, K, 1, 1) -> max/argmax over K
+        bias = jnp.asarray(comp.bias[p], dtype)  # (L=M, K=M), -inf padded
+        weighted = dt[:, None] + bias[None, :, :, None, None]
+        msg = jnp.max(weighted, axis=2)  # (S, L, H, W)
+        ik = jnp.argmax(weighted, axis=2).astype(jnp.int32)
+
+        sel = lambda t: jnp.take_along_axis(
+            jnp.broadcast_to(t[:, None], (s, m_total, m_total, hr, wr)),
+            ik[:, :, None],
+            axis=2,
+        )[:, :, 0]
+        tables[p] = (sel(ix), sel(iy), ik)
+
+        par = int(comp.parentid[p])
+        acc[par] = msg if par not in acc else acc[par] + msg
+
+    root = part_score(0)
+    if 0 in acc:
+        root = root + acc.pop(0)
+    root = root + jnp.asarray(comp.root_bias, dtype)[None, :, None, None]
+    rootv = jnp.max(root, axis=1)
+    rooti = jnp.argmax(root, axis=1).astype(jnp.int32)
+    return rootv, rooti, tables
+
+
+def backtrack(
+    rootv: jax.Array,
+    rooti: jax.Array,
+    tables: Dict[int, Tuple[jax.Array, jax.Array, jax.Array]],
+    comp: PackedComponent,
+    box_scales: jax.Array,  # (S,) image-pixels-per-cell per scale
+    box_off_x: int,
+    box_off_y: int,
+    thresh: float,
+    max_det: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Extract up to max_det candidates and walk the tree for part boxes.
+
+    Returns (boxes (max_det, P, 4) [x1,y1,x2,y2] in image coords,
+    scores (max_det,), mixtures (max_det, P) int32, valid (max_det,)).
+    Box geometry follows detect_fast.m:170-175 (0-based):
+    x1 = (x - padx) * scale, x2 = x1 + sizx*scale - 1.
+    """
+    s, hr, wr = rootv.shape
+    p_total = comp.nparts
+    flat = rootv.reshape(-1)
+    k = min(max_det, flat.shape[0])
+    vals, idx = jax.lax.top_k(flat, k)
+    if k < max_det:  # pad to the static budget
+        vals = jnp.concatenate([vals, jnp.full(max_det - k, NEG_INF, vals.dtype)])
+        idx = jnp.concatenate([idx, jnp.zeros(max_det - k, idx.dtype)])
+    valid = vals >= thresh
+
+    si = idx // (hr * wr)
+    rem = idx % (hr * wr)
+    yi = rem // wr
+    xi = rem % wr
+    mi = rooti.reshape(-1)[idx]
+
+    xs: List[jax.Array] = [None] * p_total
+    ys: List[jax.Array] = [None] * p_total
+    ms: List[jax.Array] = [None] * p_total
+    xs[0], ys[0], ms[0] = xi, yi, mi
+    for p in range(1, p_total):
+        par = int(comp.parentid[p])
+        ix, iy, ik = tables[p]
+        xs[p] = ix[si, ms[par], ys[par], xs[par]]
+        ys[p] = iy[si, ms[par], ys[par], xs[par]]
+        ms[p] = ik[si, ms[par], ys[par], xs[par]]
+
+    scale = box_scales[si].astype(rootv.dtype)  # (max_det,)
+    fsize = jnp.asarray(comp.fsize)  # (P, M, 2)
+    boxes = []
+    for p in range(p_total):
+        sz = fsize[p][ms[p]]  # (max_det, 2) = (fh, fw)
+        x1 = (xs[p].astype(rootv.dtype) + box_off_x) * scale
+        y1 = (ys[p].astype(rootv.dtype) + box_off_y) * scale
+        x2 = x1 + sz[:, 1].astype(rootv.dtype) * scale - 1
+        y2 = y1 + sz[:, 0].astype(rootv.dtype) * scale - 1
+        boxes.append(jnp.stack([x1, y1, x2, y2], axis=-1))
+    boxes = jnp.stack(boxes, axis=1)  # (max_det, P, 4)
+    mixtures = jnp.stack(ms, axis=1).astype(jnp.int32)
+    return boxes, vals, mixtures, valid

@@ -1,0 +1,143 @@
+"""32-channel Felzenszwalb HOG as pure XLA tensor ops (no scatters).
+
+The reference computes HOG with per-pixel scatter-adds into cell
+histograms (matlab/mex/features.cc:111-141, src/HOGFeatures.cpp:251-266).
+Scatters are hostile to TPUs. The key observation for the TPU-native
+formulation: the trilinear bin weights depend only on the pixel's offset
+within its sbin-block, so the scatter is exactly a *fixed 2*sbin tent
+filter applied with stride sbin* to the (orientation-one-hot x magnitude)
+map. That turns the histogram stage into one strided depthwise
+convolution, and everything after it (block energy, 4-way normalization,
+0.2 clamping, texture channels) is elementwise math and slicing.
+
+Semantics pinned by ops/reference.py (golden tests):
+  - gradients from the color channel with the strongest magnitude,
+    first-channel-wins on ties (MATLAB RGB order is authoritative),
+  - 18-way orientation snapping with the reference's interleaved
+    (dot, -dot) strict-> first-max tie-breaking,
+  - pixels indexed on the visible = round(dim/sbin)*sbin grid with
+    reads clamped to dim-2,
+  - output (bh-2, bw-2, 32): 18 contrast-sensitive + 9 insensitive +
+    4 texture-energy + 1 zero occlusion channel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import reference
+
+NORIENT = 18
+FLEN = 32
+
+
+@functools.lru_cache(maxsize=None)
+def _tent_kernel(sbin: int) -> np.ndarray:
+    """1-D trilinear scatter weights as a gather filter.
+
+    For cell c, contributing pixels are y = c*sbin - pad + u for
+    u in [0, 2*sbin) with pad = floor((sbin+1)/2); the trilinear weight
+    is tent(t) with t = (u + 0.5 - pad)/sbin + 0.5 (t in (0, 2)),
+    tent(t) = t for t < 1 else 2 - t. This reproduces the vx0/vx1
+    interpolation of features.cc:111-119 exactly.
+    """
+    pad = (sbin + 1) // 2
+    u = np.arange(2 * sbin, dtype=np.float64)
+    t = (u + 0.5 - pad) / sbin + 0.5
+    return np.where(t < 1.0, t, 2.0 - t)
+
+
+def _orientation_units(dtype) -> tuple[jnp.ndarray, jnp.ndarray]:
+    return (
+        jnp.asarray(reference.HOG_UU, dtype=dtype),
+        jnp.asarray(reference.HOG_VV, dtype=dtype),
+    )
+
+
+def hog_features(im: jax.Array, sbin: int) -> jax.Array:
+    """HOG of an (H, W, 3) float image -> (bh-2, bw-2, 32) features.
+
+    All shapes are static functions of (H, W, sbin); safe under jit.
+    """
+    h, w, _ = im.shape
+    bh = int(round(h / sbin))
+    bw = int(round(w / sbin))
+    oh, ow = max(bh - 2, 0), max(bw - 2, 0)
+    vh, vw = bh * sbin, bw * sbin
+    dtype = im.dtype
+
+    # --- gradients on the interior grid, clamped-replicated to the
+    # visible grid. grad maps cover pixel coords y in [1, h-2], x in [1, w-2].
+    dy = im[2:, 1:-1, :] - im[:-2, 1:-1, :]  # (h-2, w-2, 3)
+    dx = im[1:-1, 2:, :] - im[1:-1, :-2, :]
+    # extend by edge replication to the visible interior [1, vh-2] x [1, vw-2]
+    ext_y = max(vh - h, 0)
+    ext_x = max(vw - w, 0)
+    pad_cfg = ((0, ext_y), (0, ext_x), (0, 0))
+    dy = jnp.pad(dy, pad_cfg, mode="edge")[: vh - 2, : vw - 2]
+    dx = jnp.pad(dx, pad_cfg, mode="edge")[: vh - 2, : vw - 2]
+
+    v3 = dx * dx + dy * dy  # (vh-2, vw-2, 3)
+    ci = jnp.argmax(v3, axis=-1)  # first max wins: R,G,B order (MATLAB)
+    pick = jax.nn.one_hot(ci, 3, dtype=dtype)
+    gdx = (dx * pick).sum(-1)
+    gdy = (dy * pick).sum(-1)
+    gv = (v3 * pick).sum(-1)
+
+    # --- orientation snapping: interleave (dot_o, -dot_o) pairs so that
+    # argmax's first-max-wins reproduces the reference's comparison order.
+    uu, vv = _orientation_units(dtype)
+    dots = gdx[..., None] * uu + gdy[..., None] * vv  # (..., 9)
+    inter = jnp.stack([dots, -dots], axis=-1).reshape(*dots.shape[:-1], 18)
+    idx = jnp.argmax(inter, axis=-1)
+    best_o = (idx >> 1) + (NORIENT // 2) * (idx & 1)
+
+    mag = jnp.sqrt(gv)
+    onehot = jax.nn.one_hot(best_o, NORIENT, dtype=dtype) * mag[..., None]
+
+    # --- histogram stage: place the interior map back on the full pixel
+    # frame (border pixels contribute nothing) and run one strided
+    # depthwise conv with the separable tent kernel.
+    onehot = jnp.pad(onehot, ((1, 1), (1, 1), (0, 0)))  # -> full (vh, vw) frame
+    pad = (sbin + 1) // 2
+    k1 = _tent_kernel(sbin)
+    k2 = jnp.asarray(np.outer(k1, k1), dtype=dtype)  # (2sbin, 2sbin)
+    kern = jnp.tile(k2[:, :, None, None], (1, 1, 1, NORIENT))
+    hist = jax.lax.conv_general_dilated(
+        onehot[None],
+        kern,
+        window_strides=(sbin, sbin),
+        padding=((pad, sbin - pad), (pad, sbin - pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=NORIENT,
+        precision=jax.lax.Precision.HIGHEST,
+    )[0]
+    hist = hist[:bh, :bw, :]
+
+    # --- block energy and 2x2 neighborhood sums
+    half = NORIENT // 2
+    norm = jnp.sum(jnp.square(hist[..., :half] + hist[..., half:]), axis=-1)
+    s2 = norm[:-1, :-1] + norm[:-1, 1:] + norm[1:, :-1] + norm[1:, 1:]  # (bh-1, bw-1)
+    eps = jnp.asarray(reference.HOG_EPS, dtype)
+    inv = jax.lax.rsqrt(s2 + eps)
+    n1 = inv[1 : 1 + oh, 1 : 1 + ow]
+    n2 = inv[0:oh, 1 : 1 + ow]
+    n3 = inv[1 : 1 + oh, 0:ow]
+    n4 = inv[0:oh, 0:ow]
+    ns = jnp.stack([n1, n2, n3, n4], axis=-1)  # (oh, ow, 4)
+
+    src = hist[1 : 1 + oh, 1 : 1 + ow, :]  # (oh, ow, 18)
+
+    hclamp = jnp.minimum(src[..., None] * ns[..., None, :], 0.2)  # (oh,ow,18,4)
+    sensitive = 0.5 * hclamp.sum(-1)
+    texture = 0.2357 * hclamp.sum(-2)  # (oh, ow, 4) = t1..t4
+
+    ssum = src[..., :half] + src[..., half:]
+    insens = 0.5 * jnp.minimum(ssum[..., None] * ns[..., None, :], 0.2).sum(-1)
+
+    occl = jnp.zeros((oh, ow, 1), dtype)
+    return jnp.concatenate([sensitive, insens, texture, occl], axis=-1)

@@ -1,0 +1,201 @@
+"""HOG feature pyramid: static plan + jit-traceable builder.
+
+The reference builds its pyramid with interval-many fractional resizes
+followed by repeated 2x reductions (src/HOGFeatures.cpp:109-127,
+detection/featpyramid.m:24-34), pads each level and writes the boundary
+occlusion channel (featpyramid.m:36-45). Scale count:
+nscales = 1 + floor(log(min(H,W)/(5*sbin)) / log(2^(1/interval))).
+
+TPU-native structure: image size is static under jit, so the whole
+ragged pyramid is *planned on the host* (exact per-scale shapes,
+following the reference's iterative rounding chain) and the builder
+unrolls into static-shaped ops. Scales are grouped into octave buckets
+padded to a common shape so that downstream convolution / DP run as a
+single batched op per bucket; bucket alignment padding is semantically
+dead (valid-extent masks turn it to -inf after the response stage).
+
+Bucket feature shapes add (fh_max-1, fw_max-1): filters are zero-padded
+to a common size for the batched conv, and the extra feature margin
+guarantees the shared valid-conv grid covers every filter's true valid
+extent (see ops/conv.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.model import ModelSpec
+from .hog import hog_features
+from .resize import reduce_image, resize_image
+
+
+@dataclasses.dataclass(frozen=True)
+class ScaleInfo:
+    index: int
+    im_h: int
+    im_w: int
+    feat_h: int  # HOG output rows (bh-2)
+    feat_w: int
+    pad_h: int  # meaningful padded rows = feat_h + 2*(pady+1)
+    pad_w: int
+    box_scale: float  # image pixels per feature cell at this scale
+
+
+@dataclasses.dataclass(frozen=True)
+class BucketInfo:
+    scale_indices: Tuple[int, ...]
+    feat_h: int  # common padded feature height (incl. conv margin)
+    feat_w: int
+    resp_h: int  # feat_h - fh_max + 1
+    resp_w: int
+
+
+@dataclasses.dataclass(frozen=True)
+class PyramidPlan:
+    imsize: Tuple[int, int]
+    nscales: int
+    scales: Tuple[ScaleInfo, ...]
+    buckets: Tuple[BucketInfo, ...]
+
+
+def build_plan(
+    imsize: Tuple[int, int],
+    spec: ModelSpec,
+    fh_max: int,
+    fw_max: int,
+) -> PyramidPlan:
+    h, w = imsize
+    sc = 2.0 ** (1.0 / spec.interval)
+    nscales = 1 + int(
+        math.floor(math.log(min(h, w) / (5.0 * spec.sbin)) / math.log(sc))
+    )
+    if nscales < 1:
+        raise ValueError(f"image {imsize} too small for sbin={spec.sbin}")
+
+    sizes: List[Tuple[int, int]] = [None] * nscales
+    for i in range(spec.interval):
+        if i >= nscales:
+            break
+        f = 1.0 / (sc**i)
+        sizes[i] = (int(round(h * f)), int(round(w * f)))
+        j = i + spec.interval
+        while j < nscales:
+            ph, pw = sizes[j - spec.interval]
+            sizes[j] = (int(round(ph * 0.5)), int(round(pw * 0.5)))
+            j += spec.interval
+
+    scales: List[ScaleInfo] = []
+    for s in range(nscales):
+        ih, iw = sizes[s]
+        bh, bw = int(round(ih / spec.sbin)), int(round(iw / spec.sbin))
+        fh, fw = max(bh - 2, 0), max(bw - 2, 0)
+        octave, frac = divmod(s, spec.interval)
+        box_scale = spec.sbin * (sc**frac) * (2.0**octave)
+        scales.append(
+            ScaleInfo(
+                index=s,
+                im_h=ih,
+                im_w=iw,
+                feat_h=fh,
+                feat_w=fw,
+                pad_h=fh + 2 * (spec.pady + 1),
+                pad_w=fw + 2 * (spec.padx + 1),
+                box_scale=box_scale,
+            )
+        )
+
+    buckets: List[BucketInfo] = []
+    for start in range(0, nscales, spec.interval):
+        idxs = tuple(range(start, min(start + spec.interval, nscales)))
+        max_h = max(scales[i].pad_h for i in idxs)
+        max_w = max(scales[i].pad_w for i in idxs)
+        feat_h = max_h + fh_max - 1
+        feat_w = max_w + fw_max - 1
+        buckets.append(
+            BucketInfo(
+                scale_indices=idxs,
+                feat_h=feat_h,
+                feat_w=feat_w,
+                resp_h=feat_h - fh_max + 1,
+                resp_w=feat_w - fw_max + 1,
+            )
+        )
+    return PyramidPlan(
+        imsize=imsize, nscales=nscales, scales=tuple(scales), buckets=tuple(buckets)
+    )
+
+
+def _pad_feature(
+    feat: jax.Array, info: ScaleInfo, spec: ModelSpec, bucket: BucketInfo
+) -> jax.Array:
+    """Apply the meaningful (pady+1, padx+1) padding with the boundary
+    occlusion channel (featpyramid.m:36-45), then zero-align to the
+    bucket shape."""
+    py, px = spec.pady + 1, spec.padx + 1
+    f = jnp.pad(feat, ((py, py), (px, px), (0, 0)))
+    # occlusion channel = 1 in the meaningful pad frame
+    ph, pw, c = f.shape
+    row = jnp.arange(ph)[:, None]
+    col = jnp.arange(pw)[None, :]
+    border = (row < py) | (row >= ph - py) | (col < px) | (col >= pw - px)
+    occ = jnp.where(border, jnp.asarray(1, f.dtype), f[..., -1])
+    f = jnp.concatenate([f[..., :-1], occ[..., None]], axis=-1)
+    return jnp.pad(
+        f, ((0, bucket.feat_h - ph), (0, bucket.feat_w - pw), (0, 0))
+    )
+
+
+def build_pyramid_features(
+    im: jax.Array, plan: PyramidPlan, spec: ModelSpec
+) -> List[jax.Array]:
+    """Compute HOG features for every scale and return one padded
+    (S_b, H_b, W_b, flen) stack per bucket. im: (H, W, 3) float."""
+    sc = 2.0 ** (1.0 / spec.interval)
+    images: List[jax.Array] = [None] * plan.nscales
+    for i in range(min(spec.interval, plan.nscales)):
+        scaled = resize_image(im, 1.0 / (sc**i)) if i > 0 else im
+        images[i] = scaled
+        j = i + spec.interval
+        while j < plan.nscales:
+            scaled = reduce_image(scaled)
+            images[j] = scaled
+            j += spec.interval
+
+    feats = [hog_features(images[s], spec.sbin) for s in range(plan.nscales)]
+
+    out: List[jax.Array] = []
+    for bucket in plan.buckets:
+        stack = [
+            _pad_feature(feats[s], plan.scales[s], spec, bucket)
+            for s in bucket.scale_indices
+        ]
+        out.append(jnp.stack(stack, axis=0))
+    return out
+
+
+def response_valid_extents(
+    plan: PyramidPlan, bucket: BucketInfo, filter_sizes: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(S, F) true valid response extents: pad_size - fsize + 1."""
+    fh = filter_sizes[:, 0][None, :]
+    fw = filter_sizes[:, 1][None, :]
+    ph = np.array([plan.scales[s].pad_h for s in bucket.scale_indices])[:, None]
+    pw = np.array([plan.scales[s].pad_w for s in bucket.scale_indices])[:, None]
+    return (ph - fh + 1).astype(np.int32), (pw - fw + 1).astype(np.int32)
+
+
+def mask_responses(
+    resp: jax.Array, vh: np.ndarray, vw: np.ndarray
+) -> jax.Array:
+    """Set response entries outside each (scale, filter) valid extent to
+    -inf so padded regions can never win any downstream max."""
+    s, hr, wr, f = resp.shape
+    my = jnp.arange(hr)[None, :, None, None] < jnp.asarray(vh)[:, None, None, :]
+    mx = jnp.arange(wr)[None, None, :, None] < jnp.asarray(vw)[:, None, None, :]
+    return jnp.where(my & mx, resp, -jnp.inf)
