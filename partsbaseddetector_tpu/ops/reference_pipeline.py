@@ -1,0 +1,170 @@
+"""End-to-end NumPy reference detector (the semantic golden).
+
+A loop-level implementation of the full inference pipeline with the
+authoritative MATLAB-path semantics (detection/detect_fast.m +
+featpyramid.m): exact-size ragged pyramid, per-level padded features
+with the boundary occlusion channel, per-filter valid correlations,
+per-mixture shifted distance transforms, (L, K) bias mixture-max
+message passing, root bias + mixture max, thresholded vectorized
+backtracking with (x - padx) * scale box geometry.
+
+Used by tests as the golden for the batched TPU pipeline and by
+bench.py as the CPU baseline proxy. Double precision throughout.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..models.model import Model
+from . import reference
+
+
+def feature_pyramid(im: np.ndarray, model: Model):
+    """Exact ragged pyramid of padded HOG features.
+
+    Returns (feats, box_scales, padx, pady); feats[i] is
+    (fh + 2*(pady+1), fw + 2*(padx+1), flen) with the occlusion channel
+    set to 1 on the pad frame (featpyramid.m:36-45)."""
+    h, w = im.shape[:2]
+    sc = 2.0 ** (1.0 / model.interval)
+    nscales = 1 + int(
+        math.floor(math.log(min(h, w) / (5.0 * model.sbin)) / math.log(sc))
+    )
+    pady, padx = model.pad()
+
+    feats: List[Optional[np.ndarray]] = [None] * nscales
+    box_scales = np.zeros(nscales)
+    for i in range(min(model.interval, nscales)):
+        scaled = reference.resize(im, 1.0 / sc**i) if i > 0 else im.astype(np.float64)
+        feats[i] = reference.hog(scaled, model.sbin)
+        box_scales[i] = model.sbin * sc**i
+        j = i + model.interval
+        while j < nscales:
+            scaled = reference.reduce(scaled)
+            feats[j] = reference.hog(scaled, model.sbin)
+            box_scales[j] = 2.0 * box_scales[j - model.interval]
+            j += model.interval
+
+    py, px = pady + 1, padx + 1
+    for i in range(nscales):
+        f = np.pad(feats[i], ((py, py), (px, px), (0, 0)))
+        f[:py, :, -1] = 1.0
+        f[-py:, :, -1] = 1.0
+        f[:, :px, -1] = 1.0
+        f[:, -px:, -1] = 1.0
+        feats[i] = f
+    return feats, box_scales, padx, pady
+
+
+def detect_reference(
+    im: np.ndarray, model: Model, thresh: Optional[float] = None
+) -> List[dict]:
+    """Full-pipeline reference detection.
+
+    Returns a list of dicts {boxes (P, 4), score, component, level,
+    mixtures (P,)} for every root location scoring >= thresh.
+    """
+    if thresh is None:
+        thresh = model.thresh
+    feats, box_scales, padx, pady = feature_pyramid(im, model)
+    detections: List[dict] = []
+
+    for level, feat in enumerate(feats):
+        resp_cache: Dict[int, np.ndarray] = {}
+
+        def resp(f: int) -> np.ndarray:
+            if f not in resp_cache:
+                resp_cache[f] = reference.fconv_valid(feat, model.filters[f])
+            return resp_cache[f]
+
+        for c in range(model.ncomponents):
+            P = model.nparts(c)
+            score: Dict[int, np.ndarray] = {}
+            for p in range(P):
+                maps = [resp(f) for f in model.filterid[c][p]]
+                score[p] = np.stack(maps, axis=-1)  # (Hp, Wp, K)
+
+            Ix: Dict[int, np.ndarray] = {}
+            Iy: Dict[int, np.ndarray] = {}
+            Ik: Dict[int, np.ndarray] = {}
+            for p in range(P - 1, 0, -1):
+                par = int(model.parentid[c][p])
+                ny, nx = score[par].shape[:2]
+                K = model.nmixtures(c, p)
+                L = model.nmixtures(c, par)
+                msg0 = np.zeros((ny, nx, K))
+                ix0 = np.zeros((ny, nx, K), dtype=np.int64)
+                iy0 = np.zeros((ny, nx, K), dtype=np.int64)
+                for k in range(K):
+                    d = int(model.defid[c][p][k])
+                    anch = model.anchors[d]
+                    if anch[2] != 0:
+                        raise NotImplementedError("ds != 0 in reference pipeline")
+                    msg0[:, :, k], ix0[:, :, k], iy0[:, :, k] = reference.shift_dt_2d(
+                        score[p][:, :, k],
+                        model.defs[d],
+                        int(anch[0]),
+                        int(anch[1]),
+                        nx,
+                        ny,
+                        1,
+                    )
+                btab = model.biases[model.biasid[c][p]]  # (L, K)
+                msg = np.zeros((ny, nx, L))
+                ixp = np.zeros((ny, nx, L), dtype=np.int64)
+                iyp = np.zeros((ny, nx, L), dtype=np.int64)
+                ikp = np.zeros((ny, nx, L), dtype=np.int64)
+                for l in range(L):
+                    w = msg0 + btab[l][None, None, :]
+                    best = np.argmax(w, axis=-1)
+                    msg[:, :, l] = np.take_along_axis(
+                        w, best[..., None], axis=-1
+                    )[..., 0]
+                    ixp[:, :, l] = np.take_along_axis(
+                        ix0, best[..., None], axis=-1
+                    )[..., 0]
+                    iyp[:, :, l] = np.take_along_axis(
+                        iy0, best[..., None], axis=-1
+                    )[..., 0]
+                    ikp[:, :, l] = best
+                Ix[p], Iy[p], Ik[p] = ixp, iyp, ikp
+                score[par] = score[par] + msg
+
+            root_bias = model.biases[model.biasid[c][0][0]]  # (K_root,)
+            rootsc = score[0] + root_bias[None, None, :]
+            rscore = rootsc.max(axis=-1)
+            rik = np.argmax(rootsc, axis=-1)
+
+            ys, xs = np.nonzero(rscore >= thresh)
+            scale = box_scales[level]
+            for y0, x0 in zip(ys, xs):
+                xv = np.zeros(P, dtype=np.int64)
+                yv = np.zeros(P, dtype=np.int64)
+                mv = np.zeros(P, dtype=np.int64)
+                boxes = np.zeros((P, 4))
+                xv[0], yv[0], mv[0] = x0, y0, rik[y0, x0]
+                for p in range(P):
+                    if p > 0:
+                        par = int(model.parentid[c][p])
+                        xv[p] = Ix[p][yv[par], xv[par], mv[par]]
+                        yv[p] = Iy[p][yv[par], xv[par], mv[par]]
+                        mv[p] = Ik[p][yv[par], xv[par], mv[par]]
+                    fh, fw = model.filters[model.filterid[c][p][mv[p]]].shape[:2]
+                    x1 = (xv[p] - padx) * scale
+                    y1 = (yv[p] - pady) * scale
+                    boxes[p] = [x1, y1, x1 + fw * scale - 1, y1 + fh * scale - 1]
+                detections.append(
+                    dict(
+                        boxes=boxes,
+                        score=float(rscore[y0, x0]),
+                        component=c,
+                        level=level,
+                        mixtures=mv.copy(),
+                    )
+                )
+    detections.sort(key=lambda d: -d["score"])
+    return detections

@@ -22,17 +22,20 @@ from . import reference
 
 
 @functools.lru_cache(maxsize=None)
-def resize_matrix(src_len: int, dst_len: int, dtype=jnp.float32) -> jax.Array:
+def resize_matrix(src_len: int, dst_len: int, dtype=np.float32) -> np.ndarray:
     """Dense (dst_len, src_len) area-averaging resample matrix (exact
-    resize.cc weights, computed in float64 then cast)."""
-    return jnp.asarray(reference.resize_weights(src_len, dst_len), dtype=dtype)
+    resize.cc weights, computed in float64 then cast). Returns NumPy so
+    the cache never captures jit tracers."""
+    return np.asarray(
+        reference.resize_weights(src_len, dst_len), dtype=np.dtype(dtype)
+    )
 
 
 @functools.lru_cache(maxsize=None)
-def reduce_matrix(src_len: int, dtype=jnp.float32) -> jax.Array:
+def reduce_matrix(src_len: int, dtype=np.float32) -> np.ndarray:
     """Dense (round(src/2), src_len) binomial reduce matrix (exact
-    reduce.cc boundary stencils)."""
-    return jnp.asarray(reference.reduce_weights(src_len), dtype=dtype)
+    reduce.cc boundary stencils). NumPy-valued for cache safety."""
+    return np.asarray(reference.reduce_weights(src_len), dtype=np.dtype(dtype))
 
 
 def _apply_separable(im: jax.Array, wh: jax.Array, ww: jax.Array) -> jax.Array:

@@ -1,0 +1,87 @@
+"""End-to-end detector parity vs the NumPy reference pipeline."""
+
+import numpy as np
+import pytest
+
+from partsbaseddetector_tpu import PartsBasedDetector, make_synthetic_model
+from partsbaseddetector_tpu.ops.reference_pipeline import detect_reference
+
+
+def _calibrate_threshold(model, im, keep=12):
+    """Set model.thresh so the image yields ~keep detections (synthetic
+    models have no trained threshold)."""
+    probe = detect_reference(im, model, thresh=-1e9)
+    scores = sorted((d["score"] for d in probe), reverse=True)
+    model.thresh = float(scores[min(keep, len(scores)) - 1]) - 1e-6
+    return model
+
+
+def _run_parity(model, im, engine="spatial", atol=2e-3):
+    want = detect_reference(im, model)
+    det = PartsBasedDetector(model, max_detections=512, conv_engine=engine)
+    got = det.detect(im)
+
+    assert len(got) == len(want), (
+        f"candidate count mismatch: got {len(got)}, want {len(want)}"
+    )
+    for g, w in zip(got, want):
+        assert abs(g.score - w["score"]) < atol, (g.score, w["score"])
+        np.testing.assert_allclose(
+            g.parts, w["boxes"], rtol=1e-4, atol=5e-2
+        )
+        assert g.component == w["component"]
+    return got
+
+
+def test_detect_matches_reference_small():
+    model = make_synthetic_model(
+        nparts=4, nmix=2, fsize=(4, 4), sbin=8, interval=3, thresh=2.0, seed=10
+    )
+    rng = np.random.RandomState(0)
+    im = (rng.rand(170, 190, 3) * 255).astype(np.float32)
+    _calibrate_threshold(model, im)
+    got = _run_parity(model, im)
+    assert len(got) > 0, "test should exercise at least one detection"
+
+
+def test_detect_matches_reference_tree_topology():
+    """Deeper tree + 3 mixtures + non-square filters."""
+    model = make_synthetic_model(
+        nparts=6, nmix=3, fsize=(5, 4), sbin=8, interval=2, thresh=4.0, seed=11
+    )
+    rng = np.random.RandomState(1)
+    im = (rng.rand(160, 200, 3) * 255).astype(np.float32)
+    _calibrate_threshold(model, im)
+    _run_parity(model, im)
+
+
+def test_detect_multicomponent():
+    model = make_synthetic_model(
+        nparts=3, nmix=2, fsize=(4, 4), sbin=8, interval=2, thresh=2.0,
+        ncomponents=2, seed=12,
+    )
+    rng = np.random.RandomState(2)
+    im = (rng.rand(150, 150, 3) * 255).astype(np.float32)
+    _calibrate_threshold(model, im)
+    _run_parity(model, im)
+
+
+def test_fourier_engine_parity():
+    """BASELINE config 3: FFT responses must reproduce spatial detections."""
+    model = make_synthetic_model(
+        nparts=4, nmix=2, fsize=(4, 4), sbin=8, interval=3, thresh=2.0, seed=10
+    )
+    rng = np.random.RandomState(0)
+    im = (rng.rand(170, 190, 3) * 255).astype(np.float32)
+    _calibrate_threshold(model, im)
+    _run_parity(model, im, engine="fourier", atol=5e-3)
+
+
+def test_detect_no_candidates_above_threshold():
+    model = make_synthetic_model(
+        nparts=3, nmix=1, fsize=(4, 4), sbin=8, interval=2, thresh=1e6, seed=13
+    )
+    rng = np.random.RandomState(3)
+    im = (rng.rand(140, 140, 3) * 255).astype(np.float32)
+    det = PartsBasedDetector(model)
+    assert det.detect(im) == []
