@@ -1,0 +1,125 @@
+"""Benchmark: person-model (26-part) single-chip detection throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": imgs/sec, "unit": "images/sec", "vs_baseline": x}
+
+The metric follows BASELINE.json: person-like 26-part mixture model,
+full VGA HOG pyramid + DP message passing + on-device candidate
+extraction, steady-state single-image latency on one chip.
+
+vs_baseline compares against this machine's CPU run of the *same XLA
+pipeline* (a multithreaded-CPU proxy for the reference's OpenMP path;
+the reference publishes no numbers — BASELINE.md). The CPU measurement
+is cached in .bench_cpu_baseline.json because it is slow.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import numpy as np
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_baseline.json")
+IMSIZE = (480, 640)
+WARMUP = 2
+ITERS = 5
+
+
+def build(det_cls, model):
+    det = det_cls(model, max_detections=256)
+    return det.detect_fn(IMSIZE)
+
+
+def time_fn(fn, im, iters):
+    import jax
+
+    out = fn(im)
+    jax.block_until_ready(out)
+    # force a real host read; block_until_ready can be unreliable on
+    # tunneled backends
+    _ = np.asarray(out[1])
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(im)
+        _ = np.asarray(out[1])
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def measure_cpu_baseline(model, im):
+    if os.path.exists(CACHE):
+        with open(CACHE) as fh:
+            return json.load(fh)["cpu_sec_per_image"]
+    import subprocess
+
+    code = r"""
+import os, json, time
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import sys
+sys.path.insert(0, %r)
+from partsbaseddetector_tpu import PartsBasedDetector
+from partsbaseddetector_tpu.models.model import make_person_like_model
+model = make_person_like_model()
+model.thresh = 100.0
+det = PartsBasedDetector(model, max_detections=256)
+fn = det.detect_fn((480, 640))
+im = (np.random.RandomState(0).rand(480, 640, 3) * 255).astype(np.float32)
+out = fn(im); jax.block_until_ready(out)
+t0 = time.perf_counter(); out = fn(im); _ = np.asarray(out[1])
+dt = time.perf_counter() - t0
+print("BASELINE_SEC", dt)
+""" % os.path.dirname(os.path.abspath(__file__))
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        for line in res.stdout.splitlines():
+            if line.startswith("BASELINE_SEC"):
+                sec = float(line.split()[1])
+                with open(CACHE, "w") as fh:
+                    json.dump({"cpu_sec_per_image": sec}, fh)
+                return sec
+    except Exception:
+        pass
+    return None
+
+
+def main():
+    from partsbaseddetector_tpu import PartsBasedDetector
+    from partsbaseddetector_tpu.models.model import make_person_like_model
+
+    model = make_person_like_model()
+    model.thresh = 100.0
+    fn = build(PartsBasedDetector, model)
+    im = (np.random.RandomState(0).rand(*IMSIZE, 3) * 255).astype(np.float32)
+
+    sec = time_fn(fn, im, ITERS)
+    imgs_per_sec = 1.0 / sec
+
+    cpu_sec = measure_cpu_baseline(model, im)
+    vs_baseline = (cpu_sec / sec) if cpu_sec else 1.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "person26 VGA single-image detect throughput (1 chip)",
+                "value": round(imgs_per_sec, 3),
+                "unit": "images/sec",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -24,14 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models.model import Model, PackedModel, pack_model
-from .ops.conv import filter_responses, filter_responses_fft
-from .ops.dp import backtrack, tree_min_sum
-from .ops.pyramid import (
-    build_plan,
-    build_pyramid_features,
-    mask_responses,
-    response_valid_extents,
-)
+from .ops.dp import backtrack
+from .pipeline import make_plan, root_scores
 from .types import Candidate, DetectionResult
 
 NEG_INF = -jnp.inf
@@ -127,54 +121,42 @@ class PartsBasedDetector:
     def _build_fn(self, imsize: Tuple[int, int]):
         packed = self._packed
         spec = packed.spec
-        fh_max, fw_max = packed.filters.shape[1], packed.filters.shape[2]
-        plan = build_plan(imsize, spec, fh_max, fw_max)
-        conv = (
-            filter_responses
-            if self.conv_engine == "spatial"
-            else filter_responses_fft
-        )
+        plan = make_plan(packed, imsize)
         max_det = self.max_detections
         p_max = packed.max_nparts
 
         def fn(im: jax.Array):
-            im = im.astype(self.dtype)
-            feats = build_pyramid_features(im, plan, spec)
-            filters = jnp.asarray(packed.filters, self.dtype)
-
+            scores = root_scores(
+                im, packed, plan, engine=self.conv_engine, dtype=self.dtype
+            )
             boxes_l, scores_l, mix_l, valid_l, comp_l = [], [], [], [], []
-            for b, bucket in enumerate(plan.buckets):
-                resp = conv(feats[b], filters)
-                vh, vw = response_valid_extents(
-                    plan, bucket, packed.filter_sizes
-                )
-                resp = mask_responses(resp, vh, vw)
+            for bs in scores:
+                bucket = plan.buckets[bs.bucket_index]
+                comp = packed.components[bs.component]
                 box_scales = jnp.asarray(
                     [plan.scales[s].box_scale for s in bucket.scale_indices],
                     self.dtype,
                 )
-                for c, comp in enumerate(packed.components):
-                    rootv, rooti, tables = tree_min_sum(resp, comp)
-                    bx, sc, mx, vd = backtrack(
-                        rootv,
-                        rooti,
-                        tables,
-                        comp,
-                        box_scales,
-                        box_off_x=-spec.padx,
-                        box_off_y=-spec.pady,
-                        thresh=spec.thresh,
-                        max_det=max_det,
-                    )
-                    pc = comp.nparts
-                    if pc < p_max:  # pad part dim across components
-                        bx = jnp.pad(bx, ((0, 0), (0, p_max - pc), (0, 0)))
-                        mx = jnp.pad(mx, ((0, 0), (0, p_max - pc)))
-                    boxes_l.append(bx)
-                    scores_l.append(sc)
-                    mix_l.append(mx)
-                    valid_l.append(vd)
-                    comp_l.append(jnp.full(sc.shape, c, jnp.int32))
+                bx, sc, mx, vd = backtrack(
+                    bs.rootv,
+                    bs.rooti,
+                    bs.tables,
+                    comp,
+                    box_scales,
+                    box_off_x=-spec.padx,
+                    box_off_y=-spec.pady,
+                    thresh=spec.thresh,
+                    max_det=max_det,
+                )
+                pc = comp.nparts
+                if pc < p_max:  # pad part dim across components
+                    bx = jnp.pad(bx, ((0, 0), (0, p_max - pc), (0, 0)))
+                    mx = jnp.pad(mx, ((0, 0), (0, p_max - pc)))
+                boxes_l.append(bx)
+                scores_l.append(sc)
+                mix_l.append(mx)
+                valid_l.append(vd)
+                comp_l.append(jnp.full(sc.shape, bs.component, jnp.int32))
 
             boxes = jnp.concatenate(boxes_l, axis=0)
             scores = jnp.concatenate(scores_l, axis=0)

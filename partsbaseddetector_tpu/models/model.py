@@ -134,6 +134,11 @@ class PackedComponent:
     bias: np.ndarray  # (P, M, M) float32 [l, k]; -inf on invalid k
     root_bias: np.ndarray  # (M,) float32; -inf on invalid mixtures
     fsize: np.ndarray  # (P, M, 2) int32 (fh, fw) true sizes in cells
+    # index tables into the global pools (enable training: gather traced
+    # parameter pools instead of baked constants)
+    defidx: np.ndarray = None  # (P, M) int32 into defs pool
+    biasidx: np.ndarray = None  # (P, M, M) int32 into bias pool, -1 invalid
+    root_biasidx: np.ndarray = None  # (M,) int32, -1 invalid
 
     @property
     def nparts(self) -> int:
@@ -142,6 +147,28 @@ class PackedComponent:
     @property
     def maxmix(self) -> int:
         return int(self.filterid.shape[1])
+
+    def tensors(self, params=None):
+        """(defw, bias, root_bias) either as baked host constants or
+        gathered from a traced params pytree {'defs','biases'} for the
+        differentiable training path."""
+        if params is None:
+            return self.defw, self.bias, self.root_bias
+        import jax.numpy as jnp
+
+        defw = params["defs"][self.defidx]  # (P, M, 4)
+        neg = jnp.asarray(-jnp.inf, params["biases"].dtype)
+        bias = jnp.where(
+            self.biasidx >= 0,
+            params["biases"][jnp.maximum(self.biasidx, 0)],
+            neg,
+        )
+        root_bias = jnp.where(
+            self.root_biasidx >= 0,
+            params["biases"][jnp.maximum(self.root_biasidx, 0)],
+            neg,
+        )
+        return defw, bias, root_bias
 
 
 @dataclasses.dataclass
@@ -197,6 +224,9 @@ def pack_model(model: Model) -> PackedModel:
         bias = np.full((P, M, M), -np.inf, dtype=np.float32)
         root_bias = np.full(M, -np.inf, dtype=np.float32)
         fsize = np.ones((P, M, 2), dtype=np.int32)
+        defidx = np.zeros((P, M), dtype=np.int32)
+        biasidx = np.full((P, M, M), -1, dtype=np.int32)
+        root_biasidx = np.full(M, -1, dtype=np.int32)
 
         for p in range(P):
             k = nmix[p]
@@ -208,13 +238,17 @@ def pack_model(model: Model) -> PackedModel:
             fsize[p, k:] = fsizes[fid[0]]
             if p == 0:
                 root_bias[:k] = model.biases[model.biasid[c][0][0, :k]]
+                root_biasidx[:k] = model.biasid[c][0][0, :k]
             else:
                 did = np.asarray(model.defid[c][p], dtype=np.int64)
                 defw[p, :k] = np.stack([model.defs[d] for d in did])
+                defidx[p, :k] = did
+                defidx[p, k:] = did[0]
                 anchor[p, :k] = np.stack([model.anchors[d] for d in did])
                 lpar = nmix[parentid[p]]
                 tbl = model.biases[model.biasid[c][p]]  # (L, K)
                 bias[p, :lpar, :k] = tbl
+                biasidx[p, :lpar, :k] = model.biasid[c][p]
                 ds = anchor[p, :k, 2]
                 if np.any(ds != 0):
                     raise NotImplementedError(
@@ -247,6 +281,9 @@ def pack_model(model: Model) -> PackedModel:
                 bias=bias,
                 root_bias=root_bias,
                 fsize=fsize,
+                defidx=defidx,
+                biasidx=biasidx,
+                root_biasidx=root_biasidx,
             )
         )
     return PackedModel(

@@ -43,10 +43,13 @@ NEG_INF = -jnp.inf
 def tree_min_sum(
     resp: jax.Array,
     comp: PackedComponent,
+    tensors=None,
 ) -> Tuple[jax.Array, jax.Array, Dict[int, Tuple[jax.Array, jax.Array, jax.Array]]]:
     """Min-sum message passing for one component over a scale bucket.
 
     resp: (S, Hr, Wr, F) filter responses, -inf outside valid extents.
+    tensors: optional traced (defw, bias, root_bias) overriding the
+        baked model constants — the differentiable training path.
     Returns (rootv (S, Hr, Wr), rooti (S, Hr, Wr) int32,
     tables {p: (Ix, Iy, Ik)} each (S, M, Hr, Wr) indexed by parent
     mixture).
@@ -54,6 +57,9 @@ def tree_min_sum(
     s, hr, wr, _ = resp.shape
     p_total, m_total = comp.filterid.shape
     dtype = resp.dtype
+    defw_all, bias_all, root_bias = (
+        tensors if tensors is not None else comp.tensors()
+    )
 
     def part_score(p: int) -> jax.Array:
         idx = np.asarray(comp.filterid[p])  # static gather
@@ -69,7 +75,7 @@ def tree_min_sum(
 
         dt, ix, iy = shift_distance_transform_2d(
             score,
-            jnp.asarray(comp.defw[p], dtype),  # (M, 4)
+            jnp.asarray(defw_all[p], dtype),  # (M, 4)
             jnp.asarray(comp.shift_x[p]),  # (M,)
             jnp.asarray(comp.shift_y[p]),
             dlen_x=wr,
@@ -79,7 +85,7 @@ def tree_min_sum(
 
         # combine child mixtures per parent mixture l:
         # (S, 1, K, H, W) + (L, K, 1, 1) -> max/argmax over K
-        bias = jnp.asarray(comp.bias[p], dtype)  # (L=M, K=M), -inf padded
+        bias = jnp.asarray(bias_all[p], dtype)  # (L=M, K=M), -inf padded
         weighted = dt[:, None] + bias[None, :, :, None, None]
         msg = jnp.max(weighted, axis=2)  # (S, L, H, W)
         ik = jnp.argmax(weighted, axis=2).astype(jnp.int32)
@@ -97,7 +103,7 @@ def tree_min_sum(
     root = part_score(0)
     if 0 in acc:
         root = root + acc.pop(0)
-    root = root + jnp.asarray(comp.root_bias, dtype)[None, :, None, None]
+    root = root + jnp.asarray(root_bias, dtype)[None, :, None, None]
     rootv = jnp.max(root, axis=1)
     rooti = jnp.argmax(root, axis=1).astype(jnp.int32)
     return rootv, rooti, tables

@@ -1,0 +1,99 @@
+"""Shared forward pipeline: image -> root score maps (+ DP tables).
+
+One implementation serves both surfaces:
+  - inference (detector.py): baked model constants, backtracking tables;
+  - training (train/): filters/defs/biases as a traced params pytree —
+    the whole pipeline (HOG, conv, distance transforms, tree DP) is
+    differentiable, so structured-SVM losses train by subgradient
+    descent on TPU instead of the reference's host-side dual QP
+    (matlab/learning/qp_*.m). Both paths share identical semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .models.model import PackedModel
+from .ops.conv import filter_responses, filter_responses_fft
+from .ops.dp import tree_min_sum
+from .ops.pyramid import (
+    PyramidPlan,
+    build_plan,
+    build_pyramid_features,
+    mask_responses,
+    response_valid_extents,
+)
+
+ENGINES = {
+    "spatial": filter_responses,
+    "fourier": filter_responses_fft,
+}
+
+
+class BucketScores(NamedTuple):
+    """Root scores for one (bucket, component) pair."""
+
+    bucket_index: int
+    component: int
+    rootv: jax.Array  # (S, Hr, Wr)
+    rooti: jax.Array  # (S, Hr, Wr) int32
+    tables: Dict[int, Tuple[jax.Array, jax.Array, jax.Array]]
+
+
+def make_plan(packed: PackedModel, imsize: Tuple[int, int]) -> PyramidPlan:
+    fh_max, fw_max = packed.filters.shape[1], packed.filters.shape[2]
+    return build_plan(imsize, packed.spec, fh_max, fw_max)
+
+
+def root_scores(
+    im: jax.Array,
+    packed: PackedModel,
+    plan: PyramidPlan,
+    params: Optional[dict] = None,
+    engine: str = "spatial",
+    dtype=jnp.float32,
+    with_tables: bool = True,
+) -> List[BucketScores]:
+    """Run HOG pyramid -> responses -> tree DP for every (bucket,
+    component). params (optional) = {'filters', 'defs', 'biases'} traced
+    pools for training."""
+    spec = packed.spec
+    conv = ENGINES[engine]
+    im = im.astype(dtype)
+    feats = build_pyramid_features(im, plan, spec)
+    filters = (
+        params["filters"].astype(dtype)
+        if params is not None
+        else jnp.asarray(packed.filters, dtype)
+    )
+
+    out: List[BucketScores] = []
+    for b, bucket in enumerate(plan.buckets):
+        resp = conv(feats[b], filters)
+        vh, vw = response_valid_extents(plan, bucket, packed.filter_sizes)
+        resp = mask_responses(resp, vh, vw)
+        for c, comp in enumerate(packed.components):
+            tensors = comp.tensors(params) if params is not None else None
+            rootv, rooti, tables = tree_min_sum(resp, comp, tensors)
+            if not with_tables:
+                tables = {}
+            out.append(BucketScores(b, c, rootv, rooti, tables))
+    return out
+
+
+def max_root_score(
+    im: jax.Array,
+    packed: PackedModel,
+    plan: PyramidPlan,
+    params: Optional[dict] = None,
+    engine: str = "spatial",
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Best detection score anywhere in the image (differentiable)."""
+    scores = root_scores(
+        im, packed, plan, params, engine, dtype, with_tables=False
+    )
+    return jnp.stack([s.rootv.max() for s in scores]).max()

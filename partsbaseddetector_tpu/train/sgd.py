@@ -1,0 +1,122 @@
+"""TPU-native structured-SVM training by subgradient descent.
+
+The reference trains with a host-side dual coordinate-descent QP over a
+block-sparse support-vector cache (matlab/learning/train.m,
+qp_one_sparse.cc). On TPU the natural re-expression uses the fact that
+the detection score is (sub)differentiable in every parameter pool —
+filters (through the response convolution), deformation weights
+(through the distance transform's quadratic) and biases — so the latent
+SSVM objective
+
+    C * sum_pos max(0, 1 - s(x))  +  C * sum_neg max(0, 1 + s(x))
+    + 0.5 ||w||^2
+
+trains by batched subgradient descent with optax, data-parallel over
+images. The max over latent placements (position, scale, mixtures) is
+exactly the pipeline's root-score max, so one forward pass per image
+replaces the reference's per-iteration hard-negative detect loop.
+
+Parameter pools mirror model2vec/vec2model (matlab/learning/): the
+non-negativity constraint on quadratic deformation terms
+(model2vec.m:22-33) becomes a projection after each update.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.model import Model, PackedModel, pack_model
+from ..pipeline import make_plan, max_root_score
+
+
+def model_params(model: Model) -> dict:
+    """Extract the trainable pools as a pytree (model2vec analog)."""
+    packed = pack_model(model)
+    return {
+        "filters": jnp.asarray(packed.filters),
+        "defs": jnp.asarray(np.stack(model.defs)),
+        "biases": jnp.asarray(model.biases),
+    }
+
+
+def apply_params(model: Model, params: dict) -> Model:
+    """Write trained pools back into the canonical model (vec2model
+    analog). Filter padding introduced by packing is cropped away."""
+    filters = np.asarray(params["filters"])
+    new_filters = []
+    for i, f in enumerate(model.filters):
+        fh, fw = f.shape[:2]
+        new_filters.append(filters[i, :fh, :fw, :].astype(np.float32))
+    model = dataclasses.replace(model) if dataclasses.is_dataclass(model) else model
+    model.filters = new_filters
+    model.defs = [
+        np.asarray(d, dtype=np.float32) for d in np.asarray(params["defs"])
+    ]
+    model.biases = np.asarray(params["biases"], dtype=np.float32)
+    return model
+
+
+def project_defs(params: dict, min_quad: float = 0.01) -> dict:
+    """Clamp quadratic deformation terms to stay positive (the QP's
+    non-negativity constraint on def weights, qp_one_sparse.cc:247-255 /
+    vec2model.m:30-31)."""
+    d = params["defs"]
+    d = d.at[:, 0].set(jnp.maximum(d[:, 0], min_quad))
+    d = d.at[:, 2].set(jnp.maximum(d[:, 2], min_quad))
+    return {**params, "defs": d}
+
+
+def make_loss_fn(
+    packed: PackedModel,
+    imsize: Tuple[int, int],
+    c_svm: float = 0.002,
+    margin: float = 1.0,
+):
+    """Binary latent-hinge loss over a batch of images.
+
+    labels: +1 (object present somewhere) / -1 (pure negative). The
+    latent placement max is the pipeline's global root-score max.
+    """
+    plan = make_plan(packed, imsize)
+
+    def score_one(im, params):
+        return max_root_score(im, packed, plan, params=params)
+
+    def loss_fn(params, images, labels):
+        scores = jax.vmap(lambda im: score_one(im, params))(images)
+        hinge = jnp.maximum(0.0, margin - labels * scores)
+        reg = 0.5 * (
+            jnp.sum(jnp.square(params["filters"]))
+            + jnp.sum(jnp.square(params["defs"]))
+            + jnp.sum(jnp.square(params["biases"]))
+        )
+        return reg + hinge.mean() / c_svm
+
+    return loss_fn
+
+
+def make_train_step(
+    packed: PackedModel,
+    imsize: Tuple[int, int],
+    optimizer: Optional[optax.GradientTransformation] = None,
+    c_svm: float = 0.002,
+):
+    """Build a jittable (params, opt_state, images, labels) -> step fn."""
+    if optimizer is None:
+        optimizer = optax.sgd(learning_rate=1e-3, momentum=0.9)
+    loss_fn = make_loss_fn(packed, imsize, c_svm)
+
+    def step(params, opt_state, images, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = project_defs(params)
+        return params, opt_state, loss
+
+    return step, optimizer
