@@ -63,7 +63,7 @@ def sharded_train_step(
     imsize: Tuple[int, int],
     mesh: Mesh,
     optimizer=None,
-    c_svm: float = 0.002,
+    reg: float = 1e-4,
 ):
     """Build a sharded SSVM training step over the mesh.
 
@@ -75,7 +75,7 @@ def sharded_train_step(
 
     from ..train.sgd import make_train_step
 
-    step, opt = make_train_step(packed, imsize, optimizer, c_svm)
+    step, opt = make_train_step(packed, imsize, optimizer, reg)
 
     param_spec = {
         "filters": P("tp"),

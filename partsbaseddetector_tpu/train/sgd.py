@@ -75,13 +75,15 @@ def project_defs(params: dict, min_quad: float = 0.01) -> dict:
 def make_loss_fn(
     packed: PackedModel,
     imsize: Tuple[int, int],
-    c_svm: float = 0.002,
+    reg: float = 1e-4,
     margin: float = 1.0,
 ):
     """Binary latent-hinge loss over a batch of images.
 
     labels: +1 (object present somewhere) / -1 (pure negative). The
     latent placement max is the pipeline's global root-score max.
+    SGD-normalized objective: mean hinge + 0.5*reg*||w||^2 (the
+    reference QP's C plays the inverse role of reg).
     """
     plan = make_plan(packed, imsize)
 
@@ -91,12 +93,12 @@ def make_loss_fn(
     def loss_fn(params, images, labels):
         scores = jax.vmap(lambda im: score_one(im, params))(images)
         hinge = jnp.maximum(0.0, margin - labels * scores)
-        reg = 0.5 * (
+        reg_term = 0.5 * (
             jnp.sum(jnp.square(params["filters"]))
             + jnp.sum(jnp.square(params["defs"]))
             + jnp.sum(jnp.square(params["biases"]))
         )
-        return reg + hinge.mean() / c_svm
+        return reg_term * reg + hinge.mean()
 
     return loss_fn
 
@@ -105,12 +107,12 @@ def make_train_step(
     packed: PackedModel,
     imsize: Tuple[int, int],
     optimizer: Optional[optax.GradientTransformation] = None,
-    c_svm: float = 0.002,
+    reg: float = 1e-4,
 ):
     """Build a jittable (params, opt_state, images, labels) -> step fn."""
     if optimizer is None:
         optimizer = optax.sgd(learning_rate=1e-3, momentum=0.9)
-    loss_fn = make_loss_fn(packed, imsize, c_svm)
+    loss_fn = make_loss_fn(packed, imsize, reg)
 
     def step(params, opt_state, images, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
