@@ -35,8 +35,22 @@ Conventions:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+def _use_pallas() -> bool:
+    """Pick the DT backend: the Pallas kernel on TPU (one fused
+    VMEM-resident pass), the XLA broadcast-reduce elsewhere. Override
+    with PBD_DT_IMPL=xla|pallas."""
+    impl = os.environ.get("PBD_DT_IMPL", "auto")
+    if impl == "pallas":
+        return True
+    if impl == "xla":
+        return False
+    return jax.default_backend() not in ("cpu",)
 
 
 def _dt1d(
@@ -52,6 +66,10 @@ def _dt1d(
     src: (..., N); a, b, shift broadcastable to src.shape[:-1].
     Returns (out (..., dlen), argmax int32 (..., dlen)).
     """
+    if _use_pallas():
+        from .pallas_dt import dt1d_pallas
+
+        return dt1d_pallas(src, a, b, shift, dlen, step)
     n = src.shape[-1]
     dtype = src.dtype
     v = jnp.arange(n, dtype=dtype)

@@ -83,19 +83,33 @@ def tree_min_sum(
             step=int(comp.step[p]),
         )
 
-        # combine child mixtures per parent mixture l:
-        # (S, 1, K, H, W) + (L, K, 1, 1) -> max/argmax over K
+        # combine child mixtures per parent mixture l via an unrolled
+        # first-max-wins where-chain: one fused elementwise kernel per l
+        # producing (msg, Ik, Ix, Iy) together — no argmax reduction, no
+        # take_along_axis gathers (detect_fast.m:134-141 semantics)
         bias = jnp.asarray(bias_all[p], dtype)  # (L=M, K=M), -inf padded
-        weighted = dt[:, None] + bias[None, :, :, None, None]
-        msg = jnp.max(weighted, axis=2)  # (S, L, H, W)
-        ik = jnp.argmax(weighted, axis=2).astype(jnp.int32)
-
-        sel = lambda t: jnp.take_along_axis(
-            jnp.broadcast_to(t[:, None], (s, m_total, m_total, hr, wr)),
-            ik[:, :, None],
-            axis=2,
-        )[:, :, 0]
-        tables[p] = (sel(ix), sel(iy), ik)
+        msg_l, ik_l, ix_l, iy_l = [], [], [], []
+        for l in range(m_total):
+            best = dt[:, 0] + bias[l, 0]
+            ikb = jnp.zeros((s, hr, wr), jnp.int32)
+            ixb, iyb = ix[:, 0], iy[:, 0]
+            for k in range(1, m_total):
+                val = dt[:, k] + bias[l, k]
+                pred = val > best
+                best = jnp.where(pred, val, best)
+                ikb = jnp.where(pred, k, ikb)
+                ixb = jnp.where(pred, ix[:, k], ixb)
+                iyb = jnp.where(pred, iy[:, k], iyb)
+            msg_l.append(best)
+            ik_l.append(ikb)
+            ix_l.append(ixb)
+            iy_l.append(iyb)
+        msg = jnp.stack(msg_l, axis=1)  # (S, L, H, W)
+        tables[p] = (
+            jnp.stack(ix_l, axis=1),
+            jnp.stack(iy_l, axis=1),
+            jnp.stack(ik_l, axis=1),
+        )
 
         par = int(comp.parentid[p])
         acc[par] = msg if par not in acc else acc[par] + msg
@@ -104,8 +118,12 @@ def tree_min_sum(
     if 0 in acc:
         root = root + acc.pop(0)
     root = root + jnp.asarray(root_bias, dtype)[None, :, None, None]
-    rootv = jnp.max(root, axis=1)
-    rooti = jnp.argmax(root, axis=1).astype(jnp.int32)
+    rootv = root[:, 0]
+    rooti = jnp.zeros((s, hr, wr), jnp.int32)
+    for m in range(1, m_total):
+        pred = root[:, m] > rootv
+        rootv = jnp.where(pred, root[:, m], rootv)
+        rooti = jnp.where(pred, m, rooti)
     return rootv, rooti, tables
 
 

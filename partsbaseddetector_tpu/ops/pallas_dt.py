@@ -1,0 +1,127 @@
+"""Pallas TPU kernel for the 1-D generalized distance transform.
+
+The XLA brute-force formulation in distance_transform.py materializes /
+re-streams an (batch, dlen, N) cost tensor through HBM for the max and
+argmax reductions. This kernel computes both in ONE pass with the
+source row resident in VMEM:
+
+  grid over row tiles; per tile the (TB, N) source block is loaded
+  once. The v-loop walks 128-wide source chunks (aligned dynamic
+  slices); within a chunk every lane extraction is *static*, so Mosaic
+  emits a lane-broadcast + 4 VPU ops per source sample — no HBM
+  traffic, no second argmax pass, fully unrolled inner loop.
+
+Per source sample v and output position q = shift + i*step:
+  val = (a*(q-v) + b) * (q-v) + src[v];  out = max, ptr = first argmax
+(strict > keeps the smallest v on ties, matching the lower-envelope
+semantics — see distance_transform.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+NEG = float(np.finfo(np.float32).min)  # -inf breaks min-identity padding
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _dt_kernel(src_ref, a_ref, b_ref, shift_ref, out_ref, ptr_ref, *, nchunks, dlenp, step, tb):
+    a = a_ref[:, :]  # (TB, 1)
+    b = b_ref[:, :]
+    q = shift_ref[:, :] + step * jax.lax.broadcasted_iota(
+        jnp.int32, (tb, dlenp), 1
+    ).astype(jnp.float32)
+
+    def chunk_body(c, carry):
+        best, bestv = carry
+        chunk = src_ref[:, pl.ds(c * LANE, LANE)]  # (TB, 128), aligned
+        qc = q - (c * LANE).astype(jnp.float32)
+
+        def lane_body(j, carry2):
+            best, bestv = carry2
+            sval = chunk[:, j : j + 1]  # (TB, 1), static lane extract
+            d = qc - jnp.float32(j)
+            val = (a * d + b) * d + sval
+            pred = val > best
+            v_id = c * LANE + j
+            best = jnp.where(pred, val, best)
+            bestv = jnp.where(pred, v_id, bestv)
+            return best, bestv
+
+        # static unroll: every lane index is a compile-time constant
+        for j in range(LANE):
+            best, bestv = lane_body(j, (best, bestv))
+        return best, bestv
+
+    best = jnp.full((tb, dlenp), NEG, jnp.float32)
+    bestv = jnp.zeros((tb, dlenp), jnp.int32)
+    best, bestv = jax.lax.fori_loop(0, nchunks, chunk_body, (best, bestv))
+    out_ref[:, :] = best
+    ptr_ref[:, :] = bestv
+
+
+@functools.partial(jax.jit, static_argnames=("dlen", "step", "tb", "interpret"))
+def _dt1d_pallas_2d(src, a, b, shift, dlen: int, step: int, tb: int, interpret: bool):
+    bsz, n = src.shape
+    np_ = _round_up(max(n, LANE), LANE)
+    dlenp = _round_up(max(dlen, LANE), LANE)
+    bp = _round_up(max(bsz, tb), tb)
+
+    src_p = jnp.full((bp, np_), NEG, jnp.float32)
+    src_p = src_p.at[:bsz, :n].set(src.astype(jnp.float32))
+    a_p = jnp.zeros((bp, 1), jnp.float32).at[:bsz, 0].set(a.astype(jnp.float32))
+    b_p = jnp.zeros((bp, 1), jnp.float32).at[:bsz, 0].set(b.astype(jnp.float32))
+    s_p = jnp.zeros((bp, 1), jnp.float32).at[:bsz, 0].set(
+        shift.astype(jnp.float32)
+    )
+
+    kernel = functools.partial(
+        _dt_kernel, nchunks=np_ // LANE, dlenp=dlenp, step=step, tb=tb
+    )
+    out, ptr = pl.pallas_call(
+        kernel,
+        grid=(bp // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, np_), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, dlenp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, dlenp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, dlenp), jnp.float32),
+            jax.ShapeDtypeStruct((bp, dlenp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(src_p, a_p, b_p, s_p)
+    return out[:bsz, :dlen], ptr[:bsz, :dlen]
+
+
+def dt1d_pallas(src, a, b, shift, dlen: int, step: int = 1, tb: int = 16, interpret: bool = False):
+    """Batched 1-D DT along the last axis via the Pallas kernel.
+
+    src: (..., N); a, b, shift broadcastable to src.shape[:-1].
+    Returns (out (..., dlen) f32, ptr (..., dlen) int32).
+    """
+    batch_shape = src.shape[:-1]
+    n = src.shape[-1]
+    bsz = int(np.prod(batch_shape)) if batch_shape else 1
+    src2 = src.reshape(bsz, n)
+    full = lambda x: jnp.broadcast_to(jnp.asarray(x), batch_shape).reshape(bsz)
+    out, ptr = _dt1d_pallas_2d(
+        src2, full(a), full(b), full(shift), dlen, step, tb, interpret
+    )
+    return out.reshape(*batch_shape, dlen), ptr.reshape(*batch_shape, dlen)

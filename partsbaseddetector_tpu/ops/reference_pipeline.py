@@ -60,14 +60,52 @@ def feature_pyramid(im: np.ndarray, model: Model):
     return feats, box_scales, padx, pady
 
 
+def overlap_mask(
+    resp_shape: Tuple[int, int],
+    fsize: Tuple[int, int],
+    box_scale: float,
+    padx: int,
+    pady: int,
+    bbox: np.ndarray,
+    overlap: float,
+) -> np.ndarray:
+    """Bool mask of grid positions whose filter window has IoU >= overlap
+    with bbox (detect.m:338-375 testoverlap, 0-based)."""
+    ny, nx = resp_shape
+    fh, fw = fsize
+    x1 = (np.arange(nx) - padx) * box_scale
+    y1 = (np.arange(ny) - pady) * box_scale
+    x2 = x1 + fw * box_scale - 1
+    y2 = y1 + fh * box_scale - 1
+    bx1, by1, bx2, by2 = bbox
+    w = np.clip(np.minimum(x2, bx2) - np.maximum(x1, bx1) + 1, 0, None)
+    h = np.clip(np.minimum(y2, by2) - np.maximum(y1, by1) + 1, 0, None)
+    inter = h[:, None] * w[None, :]
+    area = (y2 - y1 + 1)[:, None] * (x2 - x1 + 1)[None, :]
+    barea = (by2 - by1 + 1) * (bx2 - bx1 + 1)
+    return inter / (area + barea - inter) >= overlap
+
+
 def detect_reference(
-    im: np.ndarray, model: Model, thresh: Optional[float] = None
+    im: np.ndarray,
+    model: Model,
+    thresh: Optional[float] = None,
+    part_boxes: Optional[np.ndarray] = None,
+    overlap: float = 0.7,
+    fixed_mixtures: Optional[np.ndarray] = None,
 ) -> List[dict]:
     """Full-pipeline reference detection.
 
     Returns a list of dicts {boxes (P, 4), score, component, level,
-    mixtures (P,)} for every root location scoring >= thresh.
+    mixtures (P,), xs, ys} for every root location scoring >= thresh.
+
+    Latent mode (detect.m:18-22,60-95): when part_boxes (P, 4) is given,
+    each part's responses are masked to grid positions whose filter
+    window overlaps that part's ground-truth box by >= overlap (IoU),
+    optionally with fixed per-part mixtures; only the single best
+    detection is returned.
     """
+    latent = part_boxes is not None
     if thresh is None:
         thresh = model.thresh
     feats, box_scales, padx, pady = feature_pyramid(im, model)
@@ -87,6 +125,29 @@ def detect_reference(
             for p in range(P):
                 maps = [resp(f) for f in model.filterid[c][p]]
                 score[p] = np.stack(maps, axis=-1)  # (Hp, Wp, K)
+                if latent:
+                    score[p] = score[p].copy()
+                    for k, f in enumerate(model.filterid[c][p]):
+                        if (
+                            fixed_mixtures is not None
+                            and fixed_mixtures[p] >= 0
+                            and k != fixed_mixtures[p]
+                        ):
+                            score[p][:, :, k] = -np.inf
+                            continue
+                        fh, fw = model.filters[f].shape[:2]
+                        ok = overlap_mask(
+                            score[p].shape[:2],
+                            (fh, fw),
+                            box_scales[level],
+                            padx,
+                            pady,
+                            part_boxes[p],
+                            overlap,
+                        )
+                        score[p][:, :, k] = np.where(
+                            ok, score[p][:, :, k], -np.inf
+                        )
 
             Ix: Dict[int, np.ndarray] = {}
             Iy: Dict[int, np.ndarray] = {}
@@ -164,7 +225,11 @@ def detect_reference(
                         component=c,
                         level=level,
                         mixtures=mv.copy(),
+                        xs=xv.copy(),
+                        ys=yv.copy(),
                     )
                 )
     detections.sort(key=lambda d: -d["score"])
+    if latent:
+        return detections[:1]
     return detections

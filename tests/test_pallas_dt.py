@@ -1,0 +1,55 @@
+"""Pallas DT kernel vs the envelope reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from partsbaseddetector_tpu.ops import reference
+from partsbaseddetector_tpu.ops.pallas_dt import dt1d_pallas
+
+
+@pytest.mark.parametrize("n,dlen,step,shift", [
+    (50, 50, 1, 0),
+    (130, 130, 1, -3),
+    (166, 166, 1, 5),
+    (40, 20, 2, 1),
+])
+def test_pallas_dt_matches_envelope(n, dlen, step, shift):
+    rng = np.random.RandomState(0)
+    bsz = 5
+    src = rng.randn(bsz, n).astype(np.float32) * 2
+    a = -(0.01 + 0.04 * rng.rand(bsz)).astype(np.float32)
+    b = (0.02 * rng.randn(bsz)).astype(np.float32)
+    shifts = np.full(bsz, shift, dtype=np.float32)
+    out, ptr = dt1d_pallas(src, a, b, shifts, dlen, step, interpret=True)
+    out, ptr = np.asarray(out), np.asarray(ptr)
+    for i in range(bsz):
+        want_v, want_p = reference.dt1d_envelope(
+            src[i].astype(np.float64), float(a[i]), float(b[i]), shift, dlen, step
+        )
+        np.testing.assert_allclose(out[i], want_v, rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(ptr[i], want_p)
+
+
+def test_pallas_dt_neg_inf_padding():
+    src = np.full((2, 30), -np.inf, dtype=np.float32)
+    src[:, 7] = 3.0
+    a = np.full(2, -0.02, np.float32)
+    b = np.zeros(2, np.float32)
+    out, ptr = dt1d_pallas(src, a, b, np.zeros(2, np.float32), 30, 1, interpret=True)
+    assert np.all(np.asarray(ptr) == 7)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pallas_dt_batch_shapes():
+    rng = np.random.RandomState(1)
+    src = rng.randn(2, 3, 17).astype(np.float32)
+    a = np.full((2, 3), -0.05, np.float32)
+    b = np.zeros((2, 3), np.float32)
+    s = np.zeros((2, 3), np.float32)
+    out, ptr = dt1d_pallas(src, a, b, s, 17, 1, interpret=True)
+    assert out.shape == (2, 3, 17) and ptr.shape == (2, 3, 17)
+    want, wptr = reference.dt1d_envelope(
+        src[1, 2].astype(np.float64), -0.05, 0.0, 0, 17, 1
+    )
+    np.testing.assert_allclose(np.asarray(out[1, 2]), want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ptr[1, 2]), wptr)
