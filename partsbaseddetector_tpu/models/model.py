@@ -89,7 +89,11 @@ class Model:
                 assert 0 <= par[p] < p, "parts must be stored root-first"
             for p in range(len(par)):
                 k = len(self.filterid[c][p])
-                assert len(self.defid[c][p]) == k
+                if p == 0:
+                    # the root carries no deformation (buildmodel.m:62)
+                    assert len(self.defid[c][0]) in (0, k)
+                else:
+                    assert len(self.defid[c][p]) == k
                 lpar = len(self.filterid[c][par[p]]) if p > 0 else 1
                 assert self.biasid[c][p].shape == (lpar, k), (
                     f"bias table for part {p} must be (L_parent={lpar}, K={k}),"

@@ -126,14 +126,17 @@ def detect_reference(
                 maps = [resp(f) for f in model.filterid[c][p]]
                 score[p] = np.stack(maps, axis=-1)  # (Hp, Wp, K)
                 if latent:
+                    # detect.m:88-99: with fixed mixtures, ONLY the
+                    # mixture constraint applies (a reference quirk);
+                    # otherwise per-part IoU-overlap masking. The
+                    # masking value is a large finite -1e10 (detect.m's
+                    # INF), keeping the envelope scan NaN-free.
+                    neg = -1e10
                     score[p] = score[p].copy()
                     for k, f in enumerate(model.filterid[c][p]):
-                        if (
-                            fixed_mixtures is not None
-                            and fixed_mixtures[p] >= 0
-                            and k != fixed_mixtures[p]
-                        ):
-                            score[p][:, :, k] = -np.inf
+                        if fixed_mixtures is not None:
+                            if k != fixed_mixtures[p]:
+                                score[p][:, :, k] = neg
                             continue
                         fh, fw = model.filters[f].shape[:2]
                         ok = overlap_mask(
@@ -146,7 +149,7 @@ def detect_reference(
                             overlap,
                         )
                         score[p][:, :, k] = np.where(
-                            ok, score[p][:, :, k], -np.inf
+                            ok, score[p][:, :, k], neg
                         )
 
             Ix: Dict[int, np.ndarray] = {}

@@ -1,0 +1,169 @@
+"""Latent structural-SVM training loop (the QP-faithful path).
+
+Python re-expression of matlab/learning/train.m: warped-positive or
+latent-positive feature writing, hard-negative mining through the
+detector, dual coordinate-descent optimization, support-vector pruning,
+and the 5th-percentile positive-score threshold. The TPU-native
+subgradient path lives in train/sgd.py; this path reproduces the
+reference's optimization semantics for capability parity and for
+importing its training recipes.
+
+Positives are dicts {'im', 'points', 'boxes' (P, 4)}; negatives are
+dicts {'im'}.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..models.model import Model
+from ..ops.reference_pipeline import detect_reference, feature_pyramid
+from .data import _imread, warp_positive_feature
+from .features import Placement, placement_feature
+from .layout import ParamLayout
+from .qp import QPSolver
+
+
+def warped_positive_phi(
+    model: Model, layout: ParamLayout, ex: Dict, mixture: int = 0
+) -> np.ndarray:
+    """Feature for a warped positive of a single-part model
+    (train.m poswarp): bias indicator + warped HOG block."""
+    fidx = int(model.filterid[0][0][mixture])
+    fsize = model.filters[fidx].shape[:2]
+    feat = warp_positive_feature(ex, ex["boxes"][0], fsize, model.sbin)
+    phi = np.zeros(layout.length)
+    bidx = int(model.biasid[0][0][0, mixture])
+    phi[layout.bias_off[bidx]] = 1.0
+    off = layout.filter_off[fidx]
+    phi[off : off + feat.size] = feat.ravel()
+    return phi
+
+
+def train(
+    model: Model,
+    positives: Sequence[Dict],
+    negatives: Sequence[Dict],
+    warp: bool = False,
+    iters: int = 3,
+    c_svm: float = 0.002,
+    wpos: float = 2.0,
+    overlap: float = 0.7,
+    nmax: int = 2000,
+    max_neg_per_image: int = 20,
+    fixed_mixtures: Optional[np.ndarray] = None,
+    tol: float = 0.05,
+    seed: int = 0,
+    verbose: bool = False,
+) -> Model:
+    """Train (or latently retrain) a model (train.m).
+
+    warp=True uses warped positives as fixed support vectors (the
+    per-part initialization stage); otherwise positives are mined
+    latently with per-part ground-truth overlap constraints.
+    """
+    layout = ParamLayout.build(model)
+    qp = QPSolver(
+        layout, nmax=nmax, cpos=c_svm * wpos, cneg=c_svm, seed=seed
+    )
+    qp.set_w_from_model_vec(layout.model_to_vec(model))
+
+    warped_phi = None
+    for it in range(iters):
+        # everything is re-mined each iteration (train.m:75)
+        qp.reset_examples()
+        if warp:
+            if warped_phi is None:
+                warped_phi = [
+                    warped_positive_phi(model, layout, ex) for ex in positives
+                ]
+            for i, phi in enumerate(warped_phi):
+                qp.write(phi, (1, i + 1, 0, 0), label=1, fixed=True)
+        else:
+            # latent positives with the current model; examples smaller
+            # than the template are skipped (train.m poslatent minsize)
+            minsize = float(np.prod(np.asarray(model.effective_maxsize()) * model.sbin))
+            for i, ex in enumerate(positives):
+                boxes = np.asarray(ex["boxes"])
+                areas = (boxes[:, 2] - boxes[:, 0] + 1) * (
+                    boxes[:, 3] - boxes[:, 1] + 1
+                )
+                if np.any(areas < minsize):
+                    continue
+                im = _imread(ex)
+                dets = detect_reference(
+                    im,
+                    model,
+                    thresh=-1e8,
+                    part_boxes=np.asarray(ex["boxes"]),
+                    overlap=overlap,
+                    fixed_mixtures=fixed_mixtures[i]
+                    if fixed_mixtures is not None
+                    else None,
+                )
+                if not dets:
+                    continue
+                d = dets[0]
+                feats, _, _, _ = feature_pyramid(im, model)
+                pl = Placement(
+                    level=d["level"],
+                    component=d["component"],
+                    xs=d["xs"],
+                    ys=d["ys"],
+                    mixtures=d["mixtures"],
+                )
+                phi = placement_feature(model, layout, feats, pl)
+                qp.write(phi, (1, i + 1, 0, 0), label=1, fixed=True)
+
+        # optimize on positives first (train.m:91-94)
+        if qp.n:
+            qp.prune()
+            qp.opt(tol=tol)
+            model = layout.vec_to_model(qp.actual_w(), model)
+
+        # hard negative mining on a coarser pyramid (train.m:96-106
+        # drops model.interval to 2 for speed)
+        interval0 = model.interval
+        model.interval = min(2, interval0)
+        for i, ex in enumerate(negatives):
+            if qp.full:
+                break
+            im = _imread(ex)
+            dets = detect_reference(im, model, thresh=-1.0)
+            feats = None
+            for d in dets[:max_neg_per_image]:
+                if qp.full:
+                    break
+                if feats is None:
+                    feats, _, _, _ = feature_pyramid(im, model)
+                pl = Placement(
+                    level=d["level"],
+                    component=d["component"],
+                    xs=d["xs"],
+                    ys=d["ys"],
+                    mixtures=d["mixtures"],
+                )
+                phi = placement_feature(model, layout, feats, pl)
+                qp.write(
+                    phi,
+                    (-1, i + 1, d["level"], int(d["xs"][0]), int(d["ys"][0]))[:5],
+                    label=-1,
+                )
+
+        model.interval = interval0
+
+        qp.opt(tol=tol)
+        if verbose:
+            print(
+                f"train iter {it}: n={qp.n} lb={qp.lb:.4f} ub={qp.ub:.4f}"
+            )
+        model = layout.vec_to_model(qp.actual_w(), model)
+
+        # threshold at the 5th-percentile positive score (train.m:110-113)
+        pos_scores = qp.score_positives()
+        if len(pos_scores):
+            r = np.sort(pos_scores)
+            model.thresh = float(r[int(np.ceil(len(r) * 0.05)) - 1])
+    return model

@@ -90,8 +90,27 @@ class QPSolver:
         """Real model weights: w = v / wreg + w0 (qp_w.m)."""
         return self.w / self.layout.wreg + self.layout.w0
 
+    def set_w_from_model_vec(self, wvec: np.ndarray) -> None:
+        """Seed v from real model weights: v = (w - w0) * wreg
+        (train.m:68-71)."""
+        self.w = (wvec - self.layout.w0) * self.layout.wreg
+
     def score(self, idx) -> np.ndarray:
         return self.x[idx] @ self.w
+
+    def score_positives(self) -> np.ndarray:
+        """Raw (unscaled) scores w.phi of the positive examples
+        (qp_scorepos analog): x.v = C*phi.(v/wreg) and
+        b = C*(1 - w0.phi), so w.phi = x.v/C + 1 - b/C."""
+        idx = np.flatnonzero(self.ids[: self.n, 0] > 0)
+        return self.score(idx) / self.cpos + 1.0 - self.b[idx] / self.cpos
+
+    def reset_examples(self) -> None:
+        """Drop all cached examples (train.m:75 'qp.n = 0')."""
+        self.n = 0
+        self.a[:] = 0
+        self.sv[:] = False
+        self.svfix[:] = False
 
     # -- solver -----------------------------------------------------------------
 
