@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.rounding import cround
+
 from . import reference
 
 NORIENT = 18
@@ -64,8 +66,8 @@ def hog_features(im: jax.Array, sbin: int) -> jax.Array:
     All shapes are static functions of (H, W, sbin); safe under jit.
     """
     h, w, _ = im.shape
-    bh = int(round(h / sbin))
-    bw = int(round(w / sbin))
+    bh = cround(h / sbin)
+    bw = cround(w / sbin)
     oh, ow = max(bh - 2, 0), max(bw - 2, 0)
     vh, vw = bh * sbin, bw * sbin
     dtype = im.dtype

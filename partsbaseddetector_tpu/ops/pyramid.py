@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.rounding import cround
+
 from ..models.model import ModelSpec
 from .hog import hog_features
 from .resize import reduce_image, resize_image
@@ -83,17 +85,17 @@ def build_plan(
         if i >= nscales:
             break
         f = 1.0 / (sc**i)
-        sizes[i] = (int(round(h * f)), int(round(w * f)))
+        sizes[i] = (cround(h * f), cround(w * f))
         j = i + spec.interval
         while j < nscales:
             ph, pw = sizes[j - spec.interval]
-            sizes[j] = (int(round(ph * 0.5)), int(round(pw * 0.5)))
+            sizes[j] = (cround(ph * 0.5), cround(pw * 0.5))
             j += spec.interval
 
     scales: List[ScaleInfo] = []
     for s in range(nscales):
         ih, iw = sizes[s]
-        bh, bw = int(round(ih / spec.sbin)), int(round(iw / spec.sbin))
+        bh, bw = cround(ih / spec.sbin), cround(iw / spec.sbin)
         fh, fw = max(bh - 2, 0), max(bw - 2, 0)
         octave, frac = divmod(s, spec.interval)
         box_scale = spec.sbin * (sc**frac) * (2.0**octave)

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..utils.rounding import cround
+
 # ---------------------------------------------------------------------------
 # Pyramid resampling
 # ---------------------------------------------------------------------------
@@ -62,7 +64,7 @@ def reduce_weights(src_len: int) -> np.ndarray:
     first, second-to-last and last rows use renormalized boundary stencils
     (ref: matlab/mex/reduce.cc:22-42).
     """
-    dst_len = int(round(src_len * 0.5))
+    dst_len = cround(src_len * 0.5)
     w = np.zeros((dst_len, src_len), dtype=np.float64)
     # first output row reads src[0..2]
     w[0, 0:3] = [0.6875, 0.25, 0.0625]
@@ -83,7 +85,7 @@ def reduce_weights(src_len: int) -> np.ndarray:
 def resize(im: np.ndarray, scale: float) -> np.ndarray:
     """Anti-aliased area resize of an (H, W, C) image by scale <= 1."""
     h, w = im.shape[:2]
-    dh, dw = int(round(h * scale)), int(round(w * scale))
+    dh, dw = cround(h * scale), cround(w * scale)
     wh = resize_weights(h, dh)
     ww = resize_weights(w, dw)
     return np.einsum("ij,jkc,lk->ilc", wh, im.astype(np.float64), ww)
@@ -124,8 +126,8 @@ def hog(im: np.ndarray, sbin: int) -> np.ndarray:
     """
     im = im.astype(np.float64)
     h, w = im.shape[:2]
-    bh = int(round(h / sbin))
-    bw = int(round(w / sbin))
+    bh = cround(h / sbin)
+    bw = cround(w / sbin)
     oh, ow = max(bh - 2, 0), max(bw - 2, 0)
     vh, vw = bh * sbin, bw * sbin
 

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.rounding import cround
+
 from . import reference
 
 
@@ -55,7 +57,7 @@ def _apply_separable(im: jax.Array, wh: jax.Array, ww: jax.Array) -> jax.Array:
 def resize_image(im: jax.Array, scale: float) -> jax.Array:
     """Resize an (H, W, C) image by a static scale factor <= 1."""
     h, w = im.shape[:2]
-    dh, dw = int(round(h * scale)), int(round(w * scale))
+    dh, dw = cround(h * scale), cround(w * scale)
     return _apply_separable(
         im, resize_matrix(h, dh, im.dtype), resize_matrix(w, dw, im.dtype)
     )
