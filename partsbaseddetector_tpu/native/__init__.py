@@ -148,3 +148,8 @@ def paint_nms(boxes: np.ndarray, im_shape, overlap: float = 0.0) -> np.ndarray:
     keep = np.zeros(len(boxes), dtype=np.uint8)
     lib.pbd_paint_nms(boxes, len(boxes), im_shape[0], im_shape[1], overlap, keep)
     return keep.astype(bool)
+
+
+# reference-pipeline-compatible alias
+def shift_dt_2d(score, w, shift_x, shift_y, dlen_x, dlen_y, step=1):
+    return shiftdt(score, w, shift_x, shift_y, dlen_x, dlen_y, step)

@@ -55,6 +55,7 @@ def tree_min_sum(
     mixture).
     """
     s, hr, wr, _ = resp.shape
+    assert hr < 4096 and wr < 4096, "packed pointers use 12 bits/coordinate"
     p_total, m_total = comp.filterid.shape
     dtype = resp.dtype
     defw_all, bias_all, root_bias = (
@@ -85,31 +86,28 @@ def tree_min_sum(
 
         # combine child mixtures per parent mixture l via an unrolled
         # first-max-wins where-chain: one fused elementwise kernel per l
-        # producing (msg, Ik, Ix, Iy) together — no argmax reduction, no
-        # take_along_axis gathers (detect_fast.m:134-141 semantics)
+        # producing (msg, pointers) together — no argmax reduction, no
+        # take_along_axis gathers (detect_fast.m:134-141 semantics).
+        # Pointers pack (Ik, Iy, Ix) into one int32 (12 bits per grid
+        # coordinate) — one table per part instead of three.
         bias = jnp.asarray(bias_all[p], dtype)  # (L=M, K=M), -inf padded
-        msg_l, ik_l, ix_l, iy_l = [], [], [], []
+        packed = [
+            (jnp.int32(k) << 24) | (iy[:, k] << 12) | ix[:, k]
+            for k in range(m_total)
+        ]
+        msg_l, ptr_l = [], []
         for l in range(m_total):
             best = dt[:, 0] + bias[l, 0]
-            ikb = jnp.zeros((s, hr, wr), jnp.int32)
-            ixb, iyb = ix[:, 0], iy[:, 0]
+            ptrb = packed[0]
             for k in range(1, m_total):
                 val = dt[:, k] + bias[l, k]
                 pred = val > best
                 best = jnp.where(pred, val, best)
-                ikb = jnp.where(pred, k, ikb)
-                ixb = jnp.where(pred, ix[:, k], ixb)
-                iyb = jnp.where(pred, iy[:, k], iyb)
+                ptrb = jnp.where(pred, packed[k], ptrb)
             msg_l.append(best)
-            ik_l.append(ikb)
-            ix_l.append(ixb)
-            iy_l.append(iyb)
+            ptr_l.append(ptrb)
         msg = jnp.stack(msg_l, axis=1)  # (S, L, H, W)
-        tables[p] = (
-            jnp.stack(ix_l, axis=1),
-            jnp.stack(iy_l, axis=1),
-            jnp.stack(ik_l, axis=1),
-        )
+        tables[p] = jnp.stack(ptr_l, axis=1)  # (S, L, H, W) int32
 
         par = int(comp.parentid[p])
         acc[par] = msg if par not in acc else acc[par] + msg
@@ -167,10 +165,10 @@ def backtrack(
     xs[0], ys[0], ms[0] = xi, yi, mi
     for p in range(1, p_total):
         par = int(comp.parentid[p])
-        ix, iy, ik = tables[p]
-        xs[p] = ix[si, ms[par], ys[par], xs[par]]
-        ys[p] = iy[si, ms[par], ys[par], xs[par]]
-        ms[p] = ik[si, ms[par], ys[par], xs[par]]
+        ptr = tables[p][si, ms[par], ys[par], xs[par]]
+        xs[p] = ptr & 0xFFF
+        ys[p] = (ptr >> 12) & 0xFFF
+        ms[p] = ptr >> 24
 
     scale = box_scales[si].astype(rootv.dtype)  # (max_det,)
     fsize = jnp.asarray(comp.fsize)  # (P, M, 2)

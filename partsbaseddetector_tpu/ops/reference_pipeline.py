@@ -23,7 +23,7 @@ from ..models.model import Model
 from . import reference
 
 
-def feature_pyramid(im: np.ndarray, model: Model):
+def feature_pyramid(im: np.ndarray, model: Model, kernels=reference):
     """Exact ragged pyramid of padded HOG features.
 
     Returns (feats, box_scales, padx, pady); feats[i] is
@@ -39,13 +39,13 @@ def feature_pyramid(im: np.ndarray, model: Model):
     feats: List[Optional[np.ndarray]] = [None] * nscales
     box_scales = np.zeros(nscales)
     for i in range(min(model.interval, nscales)):
-        scaled = reference.resize(im, 1.0 / sc**i) if i > 0 else im.astype(np.float64)
-        feats[i] = reference.hog(scaled, model.sbin)
+        scaled = kernels.resize(im, 1.0 / sc**i) if i > 0 else im.astype(np.float64)
+        feats[i] = kernels.hog(scaled, model.sbin)
         box_scales[i] = model.sbin * sc**i
         j = i + model.interval
         while j < nscales:
-            scaled = reference.reduce(scaled)
-            feats[j] = reference.hog(scaled, model.sbin)
+            scaled = kernels.reduce(scaled)
+            feats[j] = kernels.hog(scaled, model.sbin)
             box_scales[j] = 2.0 * box_scales[j - model.interval]
             j += model.interval
 
@@ -93,6 +93,7 @@ def detect_reference(
     part_boxes: Optional[np.ndarray] = None,
     overlap: float = 0.7,
     fixed_mixtures: Optional[np.ndarray] = None,
+    kernels=reference,
 ) -> List[dict]:
     """Full-pipeline reference detection.
 
@@ -108,7 +109,7 @@ def detect_reference(
     latent = part_boxes is not None
     if thresh is None:
         thresh = model.thresh
-    feats, box_scales, padx, pady = feature_pyramid(im, model)
+    feats, box_scales, padx, pady = feature_pyramid(im, model, kernels)
     detections: List[dict] = []
 
     for level, feat in enumerate(feats):
@@ -116,7 +117,9 @@ def detect_reference(
 
         def resp(f: int) -> np.ndarray:
             if f not in resp_cache:
-                resp_cache[f] = reference.fconv_valid(feat, model.filters[f])
+                resp_cache[f] = kernels.fconv_valid(
+                    np.ascontiguousarray(feat), model.filters[f]
+                )
             return resp_cache[f]
 
         for c in range(model.ncomponents):
@@ -168,7 +171,7 @@ def detect_reference(
                     anch = model.anchors[d]
                     if anch[2] != 0:
                         raise NotImplementedError("ds != 0 in reference pipeline")
-                    msg0[:, :, k], ix0[:, :, k], iy0[:, :, k] = reference.shift_dt_2d(
+                    msg0[:, :, k], ix0[:, :, k], iy0[:, :, k] = kernels.shift_dt_2d(
                         score[p][:, :, k],
                         model.defs[d],
                         int(anch[0]),
