@@ -93,6 +93,9 @@ class PartsBasedDetector:
 
     def detect_dense(self, im: np.ndarray) -> DetectionResult:
         """Run detection, returning dense padded arrays (host copies)."""
+        from .utils.profiling import validate_image
+
+        im = validate_image(im, min_side=5 * self._packed.spec.sbin)
         fn = self._get_fn(im.shape[:2])
         boxes, scores, comps, valid, _ = fn(jnp.asarray(im, self.dtype))
         return DetectionResult(

@@ -53,6 +53,23 @@ def _tent_kernel(sbin: int) -> np.ndarray:
     return np.where(t < 1.0, t, 2.0 - t)
 
 
+@functools.lru_cache(maxsize=None)
+def _hist_matrix(blocks: int, vlen: int, sbin: int) -> np.ndarray:
+    """(blocks, vlen) strided tent-aggregation matrix: row c carries the
+    2*sbin tent weights at pixel positions c*sbin - pad + u. Lets the
+    histogram stage run as two MXU matmuls instead of a strided
+    depthwise conv (same trick as ops/resize.py)."""
+    pad = (sbin + 1) // 2
+    k = _tent_kernel(sbin)
+    m = np.zeros((blocks, vlen), dtype=np.float32)
+    for c in range(blocks):
+        for u in range(2 * sbin):
+            y = c * sbin - pad + u
+            if 0 <= y < vlen:
+                m[c, y] = k[u]
+    return m
+
+
 def _orientation_units(dtype) -> tuple[jnp.ndarray, jnp.ndarray]:
     return (
         jnp.asarray(reference.HOG_UU, dtype=dtype),
@@ -102,23 +119,16 @@ def hog_features(im: jax.Array, sbin: int) -> jax.Array:
     onehot = jax.nn.one_hot(best_o, NORIENT, dtype=dtype) * mag[..., None]
 
     # --- histogram stage: place the interior map back on the full pixel
-    # frame (border pixels contribute nothing) and run one strided
-    # depthwise conv with the separable tent kernel.
+    # frame (border pixels contribute nothing) and aggregate cells with
+    # two separable strided tent matmuls on the MXU.
     onehot = jnp.pad(onehot, ((1, 1), (1, 1), (0, 0)))  # -> full (vh, vw) frame
-    pad = (sbin + 1) // 2
-    k1 = _tent_kernel(sbin)
-    k2 = jnp.asarray(np.outer(k1, k1), dtype=dtype)  # (2sbin, 2sbin)
-    kern = jnp.tile(k2[:, :, None, None], (1, 1, 1, NORIENT))
-    hist = jax.lax.conv_general_dilated(
-        onehot[None],
-        kern,
-        window_strides=(sbin, sbin),
-        padding=((pad, sbin - pad), (pad, sbin - pad)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=NORIENT,
-        precision=jax.lax.Precision.HIGHEST,
-    )[0]
-    hist = hist[:bh, :bw, :]
+    hi = jax.lax.Precision.HIGHEST
+    my = jnp.asarray(_hist_matrix(bh, vh, sbin), dtype)  # (bh, vh)
+    mx = jnp.asarray(_hist_matrix(bw, vw, sbin), dtype)  # (bw, vw)
+    tmp = jnp.matmul(my, onehot.reshape(vh, vw * NORIENT), precision=hi)
+    hist = jnp.einsum(
+        "yvc,xv->yxc", tmp.reshape(bh, vw, NORIENT), mx, precision=hi
+    )
 
     # --- block energy and 2x2 neighborhood sums
     half = NORIENT // 2

@@ -163,3 +163,17 @@ def test_depth_to_cloud_roundtrip():
     # center pixel maps to (0, 0, z)
     center = cloud[15 * 40 + 20]
     np.testing.assert_allclose(center, [0, 0, 2.0], atol=1e-9)
+
+
+def test_plausible_depth_mask():
+    from partsbaseddetector_tpu.depth import plausible_depth_mask
+
+    depth = np.full((60, 80), 2.0, dtype=np.float32)
+    depth[:, 40:] = 8.0  # implausibly far half
+    # fx * X / scale = 100 * 0.4 / 20 = 2.0 expected depth
+    mask = plausible_depth_mask(
+        depth, (30, 40), scale=20.0, object_width_m=0.4, fx=100.0, tolerance=0.5
+    )
+    assert mask.shape == (30, 40)
+    assert mask[:, :20].all()
+    assert not mask[:, 20:].any()
