@@ -60,16 +60,19 @@ def _dt1d(
     shift: jax.Array,
     dlen: int,
     step: int,
+    nvalid=None,
 ) -> tuple[jax.Array, jax.Array]:
     """1-D max-plus transform along the last axis.
 
-    src: (..., N); a, b, shift broadcastable to src.shape[:-1].
+    src: (..., N); a, b, shift broadcastable to src.shape[:-1]; nvalid
+    (optional) is a per-row valid source count (a pure perf hint — the
+    region beyond it must already be -inf).
     Returns (out (..., dlen), argmax int32 (..., dlen)).
     """
     if _use_pallas():
         from .pallas_dt import dt1d_pallas
 
-        return dt1d_pallas(src, a, b, shift, dlen, step)
+        return dt1d_pallas(src, a, b, shift, dlen, step, nvalid=nvalid)
     n = src.shape[-1]
     dtype = src.dtype
     v = jnp.arange(n, dtype=dtype)
@@ -92,6 +95,8 @@ def shift_distance_transform_2d(
     dlen_x: int,
     dlen_y: int,
     step: int = 1,
+    valid_h=None,
+    valid_w=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """2-D shifted/subsampled generalized DT.
 
@@ -115,6 +120,7 @@ def shift_distance_transform_2d(
         jnp.asarray(shift_y)[..., None],
         dlen_y,
         step,
+        nvalid=None if valid_h is None else jnp.asarray(valid_h)[..., None],
     )
     tmp = jnp.swapaxes(tmp, -1, -2)  # (..., dlen_y, W)
     tmp_iy = jnp.swapaxes(tmp_iy, -1, -2)
@@ -127,6 +133,7 @@ def shift_distance_transform_2d(
         jnp.asarray(shift_x)[..., None],
         dlen_x,
         step,
+        nvalid=None if valid_w is None else jnp.asarray(valid_w)[..., None],
     )
     iy = jnp.take_along_axis(tmp_iy, ix, axis=-1)
     return msg, ix, iy

@@ -44,12 +44,15 @@ def tree_min_sum(
     resp: jax.Array,
     comp: PackedComponent,
     tensors=None,
+    valid_extents=None,
 ) -> Tuple[jax.Array, jax.Array, Dict[int, Tuple[jax.Array, jax.Array, jax.Array]]]:
     """Min-sum message passing for one component over a scale bucket.
 
     resp: (S, Hr, Wr, F) filter responses, -inf outside valid extents.
     tensors: optional traced (defw, bias, root_bias) overriding the
         baked model constants — the differentiable training path.
+    valid_extents: optional ((S, F) vh, (S, F) vw) NumPy arrays of true
+        response extents; lets the DT kernel skip -inf padding chunks.
     Returns (rootv (S, Hr, Wr), rooti (S, Hr, Wr) int32,
     tables {p: (Ix, Iy, Ik)} each (S, M, Hr, Wr) indexed by parent
     mixture).
@@ -74,6 +77,11 @@ def tree_min_sum(
         if p in acc:
             score = score + acc.pop(p)
 
+        vhp = vwp = None
+        if valid_extents is not None:
+            fid = np.asarray(comp.filterid[p])
+            vhp = np.ascontiguousarray(valid_extents[0][:, fid])  # (S, M)
+            vwp = np.ascontiguousarray(valid_extents[1][:, fid])
         dt, ix, iy = shift_distance_transform_2d(
             score,
             jnp.asarray(defw_all[p], dtype),  # (M, 4)
@@ -82,6 +90,8 @@ def tree_min_sum(
             dlen_x=wr,
             dlen_y=hr,
             step=int(comp.step[p]),
+            valid_h=vhp,
+            valid_w=vwp,
         )
 
         # combine child mixtures per parent mixture l via an unrolled

@@ -35,7 +35,10 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _dt_kernel(src_ref, a_ref, b_ref, shift_ref, out_ref, ptr_ref, *, nchunks, dlenp, step, tb):
+def _dt_kernel(
+    src_ref, a_ref, b_ref, shift_ref, nvalid_ref, out_ref, ptr_ref,
+    *, nchunks, dlenp, step, tb,
+):
     a = a_ref[:, :]  # (TB, 1)
     b = b_ref[:, :]
     q = shift_ref[:, :] + step * jax.lax.broadcasted_iota(
@@ -65,13 +68,20 @@ def _dt_kernel(src_ref, a_ref, b_ref, shift_ref, out_ref, ptr_ref, *, nchunks, d
 
     best = jnp.full((tb, dlenp), NEG, jnp.float32)
     bestv = jnp.zeros((tb, dlenp), jnp.int32)
-    best, bestv = jax.lax.fori_loop(0, nchunks, chunk_body, (best, bestv))
+    # dynamic trip count: chunks past this tile's longest valid source
+    # row are pure -inf padding and can never win the max
+    live = pl.cdiv(jnp.max(nvalid_ref[:, :]), LANE)
+    best, bestv = jax.lax.fori_loop(
+        0, jnp.minimum(live, nchunks), chunk_body, (best, bestv)
+    )
     out_ref[:, :] = best
     ptr_ref[:, :] = bestv
 
 
 @functools.partial(jax.jit, static_argnames=("dlen", "step", "tb", "interpret"))
-def _dt1d_pallas_2d(src, a, b, shift, dlen: int, step: int, tb: int, interpret: bool):
+def _dt1d_pallas_2d(
+    src, a, b, shift, nvalid, dlen: int, step: int, tb: int, interpret: bool
+):
     bsz, n = src.shape
     np_ = _round_up(max(n, LANE), LANE)
     dlenp = _round_up(max(dlen, LANE), LANE)
@@ -84,44 +94,58 @@ def _dt1d_pallas_2d(src, a, b, shift, dlen: int, step: int, tb: int, interpret: 
     s_p = jnp.zeros((bp, 1), jnp.float32).at[:bsz, 0].set(
         shift.astype(jnp.float32)
     )
+    n_p = jnp.zeros((bp, 1), jnp.int32).at[:bsz, 0].set(
+        nvalid.astype(jnp.int32)
+    )
 
     kernel = functools.partial(
         _dt_kernel, nchunks=np_ // LANE, dlenp=dlenp, step=step, tb=tb
     )
+    row_spec = lambda w: pl.BlockSpec(
+        (tb, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
     out, ptr = pl.pallas_call(
         kernel,
         grid=(bp // tb,),
-        in_specs=[
-            pl.BlockSpec((tb, np_), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((tb, dlenp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, dlenp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=[row_spec(np_), row_spec(1), row_spec(1), row_spec(1), row_spec(1)],
+        out_specs=[row_spec(dlenp), row_spec(dlenp)],
         out_shape=[
             jax.ShapeDtypeStruct((bp, dlenp), jnp.float32),
             jax.ShapeDtypeStruct((bp, dlenp), jnp.int32),
         ],
         interpret=interpret,
-    )(src_p, a_p, b_p, s_p)
+    )(src_p, a_p, b_p, s_p, n_p)
     return out[:bsz, :dlen], ptr[:bsz, :dlen]
 
 
-def dt1d_pallas(src, a, b, shift, dlen: int, step: int = 1, tb: int = 16, interpret: bool = False):
+def dt1d_pallas(
+    src,
+    a,
+    b,
+    shift,
+    dlen: int,
+    step: int = 1,
+    tb: int = 16,
+    interpret: bool = False,
+    nvalid=None,
+):
     """Batched 1-D DT along the last axis via the Pallas kernel.
 
     src: (..., N); a, b, shift broadcastable to src.shape[:-1].
+    nvalid (optional, broadcastable to batch): per-row count of valid
+    source entries — everything beyond must be -inf; the kernel skips
+    whole 128-chunks past the tile's max (exactness preserved, ~30%
+    fewer iterations on pyramid buckets).
     Returns (out (..., dlen) f32, ptr (..., dlen) int32).
     """
     batch_shape = src.shape[:-1]
     n = src.shape[-1]
+    if nvalid is None:
+        nvalid = n
     bsz = int(np.prod(batch_shape)) if batch_shape else 1
     src2 = src.reshape(bsz, n)
     full = lambda x: jnp.broadcast_to(jnp.asarray(x), batch_shape).reshape(bsz)
     out, ptr = _dt1d_pallas_2d(
-        src2, full(a), full(b), full(shift), dlen, step, tb, interpret
+        src2, full(a), full(b), full(shift), full(nvalid), dlen, step, tb, interpret
     )
     return out.reshape(*batch_shape, dlen), ptr.reshape(*batch_shape, dlen)

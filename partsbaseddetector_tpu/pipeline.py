@@ -77,7 +77,9 @@ def root_scores(
         resp = mask_responses(resp, vh, vw)
         for c, comp in enumerate(packed.components):
             tensors = comp.tensors(params) if params is not None else None
-            rootv, rooti, tables = tree_min_sum(resp, comp, tensors)
+            rootv, rooti, tables = tree_min_sum(
+                resp, comp, tensors, valid_extents=(vh, vw)
+            )
             if not with_tables:
                 tables = {}
             out.append(BucketScores(b, c, rootv, rooti, tables))
