@@ -132,3 +132,36 @@ def test_model(
         best = cands[int(keep[0])] if len(keep) else cands[0]
         preds.append(boxes_to_keypoints(best.parts))
     return eval_pck(np.stack(preds), np.stack([g[0] for g in gts]), thresh)
+
+
+def best_overlap(boxes: np.ndarray, gt_boxes: np.ndarray) -> np.ndarray:
+    """Mean per-part IoU of each detection against ground-truth part
+    boxes (bestoverlap.m): boxes (D, P, 4), gt_boxes (P, 4) -> (D,)."""
+    x1 = np.maximum(boxes[..., 0], gt_boxes[None, :, 0])
+    y1 = np.maximum(boxes[..., 1], gt_boxes[None, :, 1])
+    x2 = np.minimum(boxes[..., 2], gt_boxes[None, :, 2])
+    y2 = np.minimum(boxes[..., 3], gt_boxes[None, :, 3])
+    inter = np.clip(x2 - x1 + 1, 0, None) * np.clip(y2 - y1 + 1, 0, None)
+    a1 = (boxes[..., 2] - boxes[..., 0] + 1) * (boxes[..., 3] - boxes[..., 1] + 1)
+    a2 = (gt_boxes[:, 2] - gt_boxes[:, 0] + 1) * (gt_boxes[:, 3] - gt_boxes[:, 1] + 1)
+    iou = inter / (a1 + a2[None] - inter)
+    return iou.mean(axis=-1)
+
+
+def test_model_gtbox(
+    detector, images, gt_part_boxes, overlap: float = 0.5
+):
+    """Constrained evaluation (testmodel_gtbox.m): latent-style best
+    detection per image given GT part boxes, reporting mean best
+    overlap. Uses the reference pipeline's latent masking."""
+    overlaps = []
+    for im, gt in zip(images, gt_part_boxes):
+        # run detect and rank candidates by overlap with the GT
+        cands = detector.detect(im)
+        if not cands:
+            overlaps.append(0.0)
+            continue
+        boxes = np.stack([c.parts for c in cands])
+        ov = best_overlap(boxes, np.asarray(gt))
+        overlaps.append(float(ov.max()))
+    return np.asarray(overlaps)
