@@ -37,6 +37,32 @@ class FrameResult:
     clusters: Optional[list] = None
     poses: Optional[list] = None
 
+    def pose_results(self, object_id: str = "object") -> List[dict]:
+        """ecto-cell-shaped results (cells/detect.cpp:213-348
+        PoseResult): {object_id, confidence, T, R, cloud} per candidate
+        with 3-D post-processing available."""
+        out = []
+        for i, cand in enumerate(self.candidates):
+            pose = (
+                self.poses[i]
+                if self.poses is not None and i < len(self.poses)
+                else np.eye(4)
+            )
+            out.append(
+                dict(
+                    object_id=object_id,
+                    confidence=cand.score,
+                    T=pose[:3, 3],
+                    R=pose[:3, :3],
+                    cloud=(
+                        self.clusters[i]
+                        if self.clusters is not None and i < len(self.clusters)
+                        else None
+                    ),
+                )
+            )
+        return out
+
 
 class DetectionStream:
     """Callback-driven detection pipeline.
