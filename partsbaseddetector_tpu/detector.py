@@ -48,12 +48,16 @@ class PartsBasedDetector:
         max_detections: int = 256,
         conv_engine: str = "spatial",
         dtype=jnp.float32,
+        nms_overlap: Optional[float] = None,
     ):
         if conv_engine not in ("spatial", "fourier"):
             raise ValueError(f"unknown conv engine: {conv_engine}")
         self.max_detections = int(max_detections)
         self.conv_engine = conv_engine
         self.dtype = dtype
+        # optional on-device part-aware NMS (detection/nms.m) applied to
+        # the final candidate set before it leaves the chip
+        self.nms_overlap = nms_overlap
         self._packed: Optional[PackedModel] = None
         self._fns: Dict[Tuple[int, int], object] = {}
         if model is not None:
@@ -169,11 +173,20 @@ class PartsBasedDetector:
 
             masked = jnp.where(valid, scores, NEG_INF)
             top, order = jax.lax.top_k(masked, max_det)
+            out_boxes = boxes[order]
+            out_valid = top > NEG_INF
+            if self.nms_overlap is not None:
+                from .ops.nms import part_nms_device
+
+                keep = part_nms_device(
+                    out_boxes, top, out_valid, self.nms_overlap
+                )
+                out_valid = out_valid & keep
             return (
-                boxes[order],
+                out_boxes,
                 top,
                 comps[order],
-                top > NEG_INF,
+                out_valid,
                 mixtures[order],
             )
 

@@ -111,3 +111,28 @@ def test_bounding_boxes():
     assert bb[2] == 10 + 10 + 6 and bb[3] == 20 + 10 + 6
     bbn = cand.bounding_box_norm()
     assert bbn[2] >= bbn[0] and bbn[3] >= bbn[1]
+
+
+def test_detector_on_device_nms():
+    import numpy as np
+    from partsbaseddetector_tpu import PartsBasedDetector, make_synthetic_model
+    from partsbaseddetector_tpu.ops.nms import part_nms
+
+    model = make_synthetic_model(
+        nparts=3, nmix=1, fsize=(4, 4), sbin=8, interval=2, thresh=-3.0, seed=50
+    )
+    rng = np.random.RandomState(0)
+    im = (rng.rand(100, 110, 3) * 255).astype(np.float32)
+
+    plain = PartsBasedDetector(model, max_detections=64)
+    raw = plain.detect(im)
+    assert len(raw) > 3
+    nmsd = PartsBasedDetector(model, max_detections=64, nms_overlap=0.4)
+    kept = nmsd.detect(im)
+
+    boxes = np.stack([c.parts for c in raw])
+    scores = np.array([c.score for c in raw])
+    want_idx = part_nms(boxes, scores, overlap=0.4)
+    assert len(kept) == len(want_idx)
+    for c, wi in zip(kept, sorted(want_idx)):
+        assert abs(c.score - raw[int(wi)].score) < 1e-6
