@@ -87,7 +87,7 @@ def _dt1d(
     return out, ptr
 
 
-def shift_distance_transform_2d(
+def shift_distance_transform_2d_packed(
     score: jax.Array,
     wdef: jax.Array,
     shift_x: jax.Array,
@@ -97,16 +97,18 @@ def shift_distance_transform_2d(
     step: int = 1,
     valid_h=None,
     valid_w=None,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """2-D shifted/subsampled generalized DT.
+) -> tuple[jax.Array, jax.Array]:
+    """2-D shifted/subsampled generalized DT with packed pointers.
 
     score: (..., H, W) child score maps (use -inf padding for invalid
         regions; padded sources can never win the max).
     wdef: (..., 4) positive deformation costs [wx2, wx1, wy2, wy1].
     shift_x / shift_y: broadcastable to score.shape[:-2], 0-based output
         grid origins (MATLAB startx/starty minus 1).
-    Returns (msg, Ix, Iy), each (..., dlen_y, dlen_x); Ix/Iy are 0-based
-    source coordinates in the child grid.
+    valid_h / valid_w: optional per-batch valid extents (perf hint).
+    Returns (msg, ptr) with ptr = (Iy << 12) | Ix int32 — on the Pallas
+    path the Iy = tmpIy[Ix] composition (shiftdt.cc:102-108) is fused
+    into the x-pass kernel, avoiding an 8M-element gather.
     """
     ax, bx = -wdef[..., 0], -wdef[..., 1]
     ay, by = -wdef[..., 2], -wdef[..., 3]
@@ -125,18 +127,40 @@ def shift_distance_transform_2d(
     tmp = jnp.swapaxes(tmp, -1, -2)  # (..., dlen_y, W)
     tmp_iy = jnp.swapaxes(tmp_iy, -1, -2)
 
-    # x pass over rows of the intermediate
-    msg, ix = _dt1d(
-        tmp,
-        ax[..., None],
-        bx[..., None],
-        jnp.asarray(shift_x)[..., None],
-        dlen_x,
-        step,
-        nvalid=None if valid_w is None else jnp.asarray(valid_w)[..., None],
-    )
+    # x pass over rows of the intermediate, carrying tmp_iy as aux
+    sx = jnp.asarray(shift_x)[..., None]
+    bxk = bx[..., None]
+    axk = ax[..., None]
+    nw = None if valid_w is None else jnp.asarray(valid_w)[..., None]
+    if _use_pallas():
+        from .pallas_dt import dt1d_pallas
+
+        msg, ptr = dt1d_pallas(
+            tmp, axk, bxk, sx, dlen_x, step, nvalid=nw, aux=tmp_iy
+        )
+        return msg, ptr
+    msg, ix = _dt1d(tmp, axk, bxk, sx, dlen_x, step, nvalid=nw)
     iy = jnp.take_along_axis(tmp_iy, ix, axis=-1)
-    return msg, ix, iy
+    return msg, (iy << 12) | ix
+
+
+def shift_distance_transform_2d(
+    score: jax.Array,
+    wdef: jax.Array,
+    shift_x: jax.Array,
+    shift_y: jax.Array,
+    dlen_x: int,
+    dlen_y: int,
+    step: int = 1,
+    valid_h=None,
+    valid_w=None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """As shift_distance_transform_2d_packed but returning unpacked
+    (msg, Ix, Iy) 0-based source coordinates."""
+    msg, ptr = shift_distance_transform_2d_packed(
+        score, wdef, shift_x, shift_y, dlen_x, dlen_y, step, valid_h, valid_w
+    )
+    return msg, ptr & 0xFFF, ptr >> 12
 
 
 def distance_transform_2d(

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.model import PackedComponent
-from .distance_transform import shift_distance_transform_2d
+from .distance_transform import shift_distance_transform_2d_packed
 
 NEG_INF = -jnp.inf
 
@@ -82,7 +82,7 @@ def tree_min_sum(
             fid = np.asarray(comp.filterid[p])
             vhp = np.ascontiguousarray(valid_extents[0][:, fid])  # (S, M)
             vwp = np.ascontiguousarray(valid_extents[1][:, fid])
-        dt, ix, iy = shift_distance_transform_2d(
+        dt, ptr = shift_distance_transform_2d_packed(
             score,
             jnp.asarray(defw_all[p], dtype),  # (M, 4)
             jnp.asarray(comp.shift_x[p]),  # (M,)
@@ -102,8 +102,7 @@ def tree_min_sum(
         # coordinate) — one table per part instead of three.
         bias = jnp.asarray(bias_all[p], dtype)  # (L=M, K=M), -inf padded
         packed = [
-            (jnp.int32(k) << 24) | (iy[:, k] << 12) | ix[:, k]
-            for k in range(m_total)
+            (jnp.int32(k) << 24) | ptr[:, k] for k in range(m_total)
         ]
         msg_l, ptr_l = [], []
         for l in range(m_total):

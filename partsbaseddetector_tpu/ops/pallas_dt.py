@@ -78,9 +78,55 @@ def _dt_kernel(
     ptr_ref[:, :] = bestv
 
 
-@functools.partial(jax.jit, static_argnames=("dlen", "step", "tb", "interpret"))
+def _dt_kernel_aux(
+    src_ref, aux_ref, a_ref, b_ref, shift_ref, nvalid_ref, out_ref, ptr_ref,
+    *, nchunks, dlenp, step, tb,
+):
+    """x-pass variant that carries a per-source aux value (the y-pass
+    argmax) through the max, emitting packed (aux << 12) | v pointers —
+    the Iy = tmpIy[Ix] composition (shiftdt.cc:102-108) fused into the
+    kernel instead of a huge downstream gather."""
+    a = a_ref[:, :]
+    b = b_ref[:, :]
+    q = shift_ref[:, :] + step * jax.lax.broadcasted_iota(
+        jnp.int32, (tb, dlenp), 1
+    ).astype(jnp.float32)
+
+    def chunk_body(c, carry):
+        best, bestp = carry
+        chunk = src_ref[:, pl.ds(c * LANE, LANE)]
+        # packed pointer per source sample: (aux << 12) | v
+        pchunk = (aux_ref[:, pl.ds(c * LANE, LANE)] << 12) | (
+            c * LANE + jax.lax.broadcasted_iota(jnp.int32, (tb, LANE), 1)
+        )
+        qc = q - (c * LANE).astype(jnp.float32)
+
+        for j in range(LANE):
+            sval = chunk[:, j : j + 1]
+            pval = pchunk[:, j : j + 1]
+            d = qc - jnp.float32(j)
+            val = (a * d + b) * d + sval
+            pred = val > best
+            best = jnp.where(pred, val, best)
+            bestp = jnp.where(pred, pval, bestp)
+        return best, bestp
+
+    best = jnp.full((tb, dlenp), NEG, jnp.float32)
+    bestp = jnp.zeros((tb, dlenp), jnp.int32)
+    live = pl.cdiv(jnp.max(nvalid_ref[:, :]), LANE)
+    best, bestp = jax.lax.fori_loop(
+        0, jnp.minimum(live, nchunks), chunk_body, (best, bestp)
+    )
+    out_ref[:, :] = best
+    ptr_ref[:, :] = bestp
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dlen", "step", "tb", "interpret", "has_aux")
+)
 def _dt1d_pallas_2d(
-    src, a, b, shift, nvalid, dlen: int, step: int, tb: int, interpret: bool
+    src, a, b, shift, nvalid, aux, dlen: int, step: int, tb: int,
+    interpret: bool, has_aux: bool,
 ):
     bsz, n = src.shape
     np_ = _round_up(max(n, LANE), LANE)
@@ -98,23 +144,44 @@ def _dt1d_pallas_2d(
         nvalid.astype(jnp.int32)
     )
 
-    kernel = functools.partial(
-        _dt_kernel, nchunks=np_ // LANE, dlenp=dlenp, step=step, tb=tb
-    )
     row_spec = lambda w: pl.BlockSpec(
         (tb, w), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    out, ptr = pl.pallas_call(
-        kernel,
-        grid=(bp // tb,),
-        in_specs=[row_spec(np_), row_spec(1), row_spec(1), row_spec(1), row_spec(1)],
-        out_specs=[row_spec(dlenp), row_spec(dlenp)],
-        out_shape=[
-            jax.ShapeDtypeStruct((bp, dlenp), jnp.float32),
-            jax.ShapeDtypeStruct((bp, dlenp), jnp.int32),
-        ],
-        interpret=interpret,
-    )(src_p, a_p, b_p, s_p, n_p)
+    out_shape = [
+        jax.ShapeDtypeStruct((bp, dlenp), jnp.float32),
+        jax.ShapeDtypeStruct((bp, dlenp), jnp.int32),
+    ]
+    if has_aux:
+        aux_p = jnp.zeros((bp, np_), jnp.int32)
+        aux_p = aux_p.at[:bsz, :n].set(aux.astype(jnp.int32))
+        kernel = functools.partial(
+            _dt_kernel_aux, nchunks=np_ // LANE, dlenp=dlenp, step=step, tb=tb
+        )
+        out, ptr = pl.pallas_call(
+            kernel,
+            grid=(bp // tb,),
+            in_specs=[
+                row_spec(np_), row_spec(np_), row_spec(1), row_spec(1),
+                row_spec(1), row_spec(1),
+            ],
+            out_specs=[row_spec(dlenp), row_spec(dlenp)],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(src_p, aux_p, a_p, b_p, s_p, n_p)
+    else:
+        kernel = functools.partial(
+            _dt_kernel, nchunks=np_ // LANE, dlenp=dlenp, step=step, tb=tb
+        )
+        out, ptr = pl.pallas_call(
+            kernel,
+            grid=(bp // tb,),
+            in_specs=[
+                row_spec(np_), row_spec(1), row_spec(1), row_spec(1), row_spec(1)
+            ],
+            out_specs=[row_spec(dlenp), row_spec(dlenp)],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(src_p, a_p, b_p, s_p, n_p)
     return out[:bsz, :dlen], ptr[:bsz, :dlen]
 
 
@@ -128,6 +195,7 @@ def dt1d_pallas(
     tb: int = 16,
     interpret: bool = False,
     nvalid=None,
+    aux=None,
 ):
     """Batched 1-D DT along the last axis via the Pallas kernel.
 
@@ -136,6 +204,9 @@ def dt1d_pallas(
     source entries — everything beyond must be -inf; the kernel skips
     whole 128-chunks past the tile's max (exactness preserved, ~30%
     fewer iterations on pyramid buckets).
+    aux (optional, same shape as src, int32 < 2^12): per-source values
+    carried through the max; the pointer output becomes packed
+    (aux[argmax] << 12) | argmax — the fused Iy composition.
     Returns (out (..., dlen) f32, ptr (..., dlen) int32).
     """
     batch_shape = src.shape[:-1]
@@ -145,7 +216,10 @@ def dt1d_pallas(
     bsz = int(np.prod(batch_shape)) if batch_shape else 1
     src2 = src.reshape(bsz, n)
     full = lambda x: jnp.broadcast_to(jnp.asarray(x), batch_shape).reshape(bsz)
+    has_aux = aux is not None
+    aux2 = aux.reshape(bsz, n) if has_aux else src2[..., :0]
     out, ptr = _dt1d_pallas_2d(
-        src2, full(a), full(b), full(shift), full(nvalid), dlen, step, tb, interpret
+        src2, full(a), full(b), full(shift), full(nvalid), aux2,
+        dlen, step, tb, interpret, has_aux,
     )
     return out.reshape(*batch_shape, dlen), ptr.reshape(*batch_shape, dlen)

@@ -53,3 +53,19 @@ def test_pallas_dt_batch_shapes():
     )
     np.testing.assert_allclose(np.asarray(out[1, 2]), want, rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(ptr[1, 2]), wptr)
+
+
+def test_pallas_dt_aux_packing():
+    """x-pass aux carry must equal the gather composition."""
+    rng = np.random.RandomState(5)
+    src = rng.randn(4, 40).astype(np.float32)
+    aux = rng.randint(0, 4000, (4, 40)).astype(np.int32)
+    a = np.full(4, -0.03, np.float32)
+    b = np.full(4, 0.01, np.float32)
+    s = np.zeros(4, np.float32)
+    out, ptr = dt1d_pallas(src, a, b, s, 40, 1, interpret=True, aux=aux)
+    out2, ix = dt1d_pallas(src, a, b, s, 40, 1, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), rtol=1e-6)
+    ix = np.asarray(ix)
+    want = (np.take_along_axis(aux, ix, axis=1) << 12) | ix
+    np.testing.assert_array_equal(np.asarray(ptr), want)
