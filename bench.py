@@ -25,7 +25,7 @@ import numpy as np
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_baseline.json")
 IMSIZE = (480, 640)
 WARMUP = 2
-ITERS = 5
+ITERS = 20
 
 
 def build(det_cls, model):
@@ -34,6 +34,9 @@ def build(det_cls, model):
 
 
 def time_fn(fn, im, iters):
+    """Amortized throughput timing: dispatch `iters` detections, sync
+    once. (Per-call host reads would measure the dev-tunnel round trip,
+    not the chip.)"""
     import jax
 
     out = fn(im)
@@ -41,13 +44,11 @@ def time_fn(fn, im, iters):
     # force a real host read; block_until_ready can be unreliable on
     # tunneled backends
     _ = np.asarray(out[1])
-    times = []
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
         out = fn(im)
-        _ = np.asarray(out[1])
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    _ = np.asarray(out[1])
+    return (time.perf_counter() - t0) / iters
 
 
 def measure_cpu_baseline(model, im):
