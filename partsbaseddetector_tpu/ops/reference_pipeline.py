@@ -112,21 +112,41 @@ def detect_reference(
     feats, box_scales, padx, pady = feature_pyramid(im, model, kernels)
     detections: List[dict] = []
 
-    for level, feat in enumerate(feats):
-        resp_cache: Dict[int, np.ndarray] = {}
+    # per-part octave offsets relative to the root (detect_fast.m:93-105):
+    # part_ds[c][p] accumulates anchor(3) down the tree; a part with
+    # total offset ds gets its responses from level - ds*interval with a
+    # 2^ds grid step and virtual padding.
+    part_ds: List[np.ndarray] = []
+    for c in range(model.ncomponents):
+        P = model.nparts(c)
+        ds = np.zeros(P, dtype=np.int64)
+        for p in range(1, P):
+            d = int(model.defid[c][p][0])
+            ds[p] = model.anchors[d][2] + ds[int(model.parentid[c][p])]
+        part_ds.append(ds)
 
-        def resp(f: int) -> np.ndarray:
-            if f not in resp_cache:
-                resp_cache[f] = kernels.fconv_valid(
-                    np.ascontiguousarray(feat), model.filters[f]
-                )
-            return resp_cache[f]
+    # level-indexed response cache shared across root levels/components
+    resp_cache: Dict[Tuple[int, int], np.ndarray] = {}
 
+    def resp(lv: int, f: int) -> np.ndarray:
+        key = (lv, f)
+        if key not in resp_cache:
+            resp_cache[key] = kernels.fconv_valid(
+                np.ascontiguousarray(feats[lv]), model.filters[f]
+            )
+        return resp_cache[key]
+
+    for level in range(len(feats)):
         for c in range(model.ncomponents):
             P = model.nparts(c)
+            # all parts' source levels must exist
+            part_level = level - part_ds[c] * model.interval
+            if part_level.min() < 0:
+                continue
             score: Dict[int, np.ndarray] = {}
             for p in range(P):
-                maps = [resp(f) for f in model.filterid[c][p]]
+                lv = int(part_level[p])
+                maps = [resp(lv, f) for f in model.filterid[c][p]]
                 score[p] = np.stack(maps, axis=-1)  # (Hp, Wp, K)
                 if latent:
                     # detect.m:88-99: with fixed mixtures, ONLY the
@@ -145,7 +165,7 @@ def detect_reference(
                         ok = overlap_mask(
                             score[p].shape[:2],
                             (fh, fw),
-                            box_scales[level],
+                            box_scales[int(part_level[p])],
                             padx,
                             pady,
                             part_boxes[p],
@@ -169,16 +189,18 @@ def detect_reference(
                 for k in range(K):
                     d = int(model.defid[c][p][k])
                     anch = model.anchors[d]
-                    if anch[2] != 0:
-                        raise NotImplementedError("ds != 0 in reference pipeline")
+                    # per-part octave offset: the child grid is 2^ds x
+                    # finer; the message samples it with that step and
+                    # virtual padding (detect_fast.m:98-105)
+                    step = 1 << int(anch[2])
                     msg0[:, :, k], ix0[:, :, k], iy0[:, :, k] = kernels.shift_dt_2d(
                         score[p][:, :, k],
                         model.defs[d],
-                        int(anch[0]),
-                        int(anch[1]),
+                        int(anch[0]) - (step - 1) * padx,
+                        int(anch[1]) - (step - 1) * pady,
                         nx,
                         ny,
-                        1,
+                        step,
                     )
                 btab = model.biases[model.biasid[c][p]]  # (L, K)
                 msg = np.zeros((ny, nx, L))
@@ -207,7 +229,6 @@ def detect_reference(
             rik = np.argmax(rootsc, axis=-1)
 
             ys, xs = np.nonzero(rscore >= thresh)
-            scale = box_scales[level]
             for y0, x0 in zip(ys, xs):
                 xv = np.zeros(P, dtype=np.int64)
                 yv = np.zeros(P, dtype=np.int64)
@@ -221,6 +242,7 @@ def detect_reference(
                         yv[p] = Iy[p][yv[par], xv[par], mv[par]]
                         mv[p] = Ik[p][yv[par], xv[par], mv[par]]
                     fh, fw = model.filters[model.filterid[c][p][mv[p]]].shape[:2]
+                    scale = box_scales[int(part_level[p])]
                     x1 = (xv[p] - padx) * scale
                     y1 = (yv[p] - pady) * scale
                     boxes[p] = [x1, y1, x1 + fw * scale - 1, y1 + fh * scale - 1]

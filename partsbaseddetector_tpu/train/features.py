@@ -31,7 +31,9 @@ from .layout import ParamLayout
 @dataclasses.dataclass
 class Placement:
     """One full-tree detection in pyramid-grid coordinates (0-based,
-    padded response grid of one level)."""
+    padded response grid). `level` is the root's level; parts with
+    octave offsets (anchor ds != 0) live at level - ds*interval and
+    their (xs, ys) are in that finer grid."""
 
     level: int
     component: int
@@ -41,16 +43,29 @@ class Placement:
     score: float = 0.0
 
 
+def part_levels(model: Model, c: int, level: int) -> np.ndarray:
+    """Per-part pyramid level given the root level (accumulated octave
+    offsets, detect_fast.m:93-105)."""
+    P = model.nparts(c)
+    ds = np.zeros(P, dtype=np.int64)
+    for p in range(1, P):
+        d = int(model.defid[c][p][0])
+        ds[p] = model.anchors[d][2] + ds[int(model.parentid[c][p])]
+    return level - ds * model.interval
+
+
 def def_feature(
     model: Model, c: int, p: int, px: int, py: int, x: int, y: int, mix: int
 ) -> np.ndarray:
     """-[dx^2 dx dy^2 dy] with the anchored/virtual-padded probe
-    (detect.m:330-337, all ds=0 here so step=1 and probe = parent +
-    anchor)."""
+    (detect.m:330-337): probe = parent*2^ds + anchor - (2^ds - 1)*pad in
+    the child's grid."""
     d = int(model.defid[c][p][mix])
-    ax, ay, _ = model.anchors[d]
-    probex = px + int(ax)
-    probey = py + int(ay)
+    ax, ay, ds = model.anchors[d]
+    step = 1 << int(ds)
+    pady, padx = model.pad()
+    probex = px * step + int(ax) - (step - 1) * padx
+    probey = py * step + int(ay) - (step - 1) * pady
     dx = probex - x
     dy = probey - y
     return -np.array([dx * dx, dx, dy * dy, dy], dtype=np.float64)
@@ -66,9 +81,10 @@ def placement_feature(
     pyramid features (reference_pipeline.feature_pyramid)."""
     c = placement.component
     phi = np.zeros(layout.length)
-    feat = feats[placement.level]
+    levels = part_levels(model, c, placement.level)
     par = model.parentid[c]
     for p in range(model.nparts(c)):
+        feat = feats[int(levels[p])]
         x, y, mix = (
             int(placement.xs[p]),
             int(placement.ys[p]),

@@ -198,3 +198,33 @@ def test_build_and_merge_model():
     np.testing.assert_allclose(
         merged.filters[len(model.filters)], model.filters[0]
     )
+
+
+def test_scale_offset_parts_and_invariant():
+    """Parts an octave below the root (anchor ds=1, detect_fast.m:93-105):
+    the reference pipeline must place the child on the finer level and
+    the score-reconstruction invariant must still hold."""
+    model = make_synthetic_model(
+        nparts=2, nmix=1, fsize=(3, 3), sbin=8, interval=2, thresh=-1e9, seed=60
+    )
+    model.anchors[model.defid[0][1][0]][2] = 1  # ds = 1
+    rng = np.random.RandomState(0)
+    im = (rng.rand(130, 140, 3) * 255).astype(np.float64)
+    dets = detect_reference(im, model, thresh=-1e9)
+    assert dets, "should detect at coarse root levels"
+    layout = ParamLayout.build(model)
+    feats, _, _, _ = feature_pyramid(im, model)
+    from partsbaseddetector_tpu.train.features import part_levels
+
+    for d in dets[:5]:
+        levels = part_levels(model, 0, d["level"])
+        assert levels[1] == d["level"] - model.interval
+        pl = Placement(
+            level=d["level"],
+            component=d["component"],
+            xs=d["xs"],
+            ys=d["ys"],
+            mixtures=d["mixtures"],
+        )
+        got = reconstruct_score(model, layout, feats, pl)
+        assert abs(got - d["score"]) < 1e-5, (got, d["score"])
