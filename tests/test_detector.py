@@ -85,3 +85,18 @@ def test_detect_no_candidates_above_threshold():
     im = (rng.rand(140, 140, 3) * 255).astype(np.float32)
     det = PartsBasedDetector(model)
     assert det.detect(im) == []
+
+
+def test_detect_batch_matches_single():
+    model = make_synthetic_model(
+        nparts=3, nmix=1, fsize=(4, 4), sbin=8, interval=2, thresh=-2.0, seed=70
+    )
+    rng = np.random.RandomState(0)
+    ims = [(rng.rand(90, 100, 3) * 255).astype(np.float32) for _ in range(3)]
+    det = PartsBasedDetector(model, max_detections=32)
+    batch = det.detect_batch(ims)
+    for im, got in zip(ims, batch):
+        single = det.detect(im)
+        assert len(got) == len(single)
+        for a, b in zip(got, single):
+            assert abs(a.score - b.score) < 1e-6
