@@ -44,13 +44,18 @@ import jax.numpy as jnp
 def _use_pallas() -> bool:
     """Pick the DT backend: the Pallas kernel on TPU (one fused
     VMEM-resident pass), the XLA broadcast-reduce elsewhere. Override
-    with PBD_DT_IMPL=xla|pallas."""
+    with PBD_DT_IMPL=xla|pallas|interpret (interpret runs the Pallas
+    kernel in the interpreter — CPU-testable kernel semantics)."""
     impl = os.environ.get("PBD_DT_IMPL", "auto")
-    if impl == "pallas":
+    if impl in ("pallas", "interpret"):
         return True
     if impl == "xla":
         return False
     return jax.default_backend() not in ("cpu",)
+
+
+def _interpret() -> bool:
+    return os.environ.get("PBD_DT_IMPL") == "interpret"
 
 
 def _dt1d(
@@ -72,7 +77,10 @@ def _dt1d(
     if _use_pallas():
         from .pallas_dt import dt1d_pallas
 
-        return dt1d_pallas(src, a, b, shift, dlen, step, nvalid=nvalid)
+        return dt1d_pallas(
+            src, a, b, shift, dlen, step, nvalid=nvalid,
+            interpret=_interpret(),
+        )
     n = src.shape[-1]
     dtype = src.dtype
     v = jnp.arange(n, dtype=dtype)
@@ -136,7 +144,8 @@ def shift_distance_transform_2d_packed(
         from .pallas_dt import dt1d_pallas
 
         msg, ptr = dt1d_pallas(
-            tmp, axk, bxk, sx, dlen_x, step, nvalid=nw, aux=tmp_iy
+            tmp, axk, bxk, sx, dlen_x, step, nvalid=nw, aux=tmp_iy,
+            interpret=_interpret(),
         )
         return msg, ptr
     msg, ix = _dt1d(tmp, axk, bxk, sx, dlen_x, step, nvalid=nw)

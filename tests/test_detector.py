@@ -100,3 +100,26 @@ def test_detect_batch_matches_single():
         assert len(got) == len(single)
         for a, b in zip(got, single):
             assert abs(a.score - b.score) < 1e-6
+
+
+def test_detect_pallas_interpret_mode(monkeypatch):
+    """Run the FULL pipeline through the Pallas DT kernels in
+    interpreter mode on CPU — end-to-end coverage of the exact kernels
+    the TPU executes."""
+    monkeypatch.setenv("PBD_DT_IMPL", "interpret")
+    model = make_synthetic_model(
+        nparts=3, nmix=2, fsize=(3, 3), sbin=8, interval=2, thresh=1.0, seed=71
+    )
+    rng = np.random.RandomState(1)
+    im = (rng.rand(90, 90, 3) * 255).astype(np.float32)
+    want = detect_reference(im, model, thresh=-1e9)
+    model.thresh = sorted((d["score"] for d in want), reverse=True)[
+        min(8, len(want)) - 1
+    ] - 1e-6
+    want = [d for d in want if d["score"] >= model.thresh]
+    det = PartsBasedDetector(model, max_detections=32)
+    got = det.detect(im)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert abs(g.score - w["score"]) < 2e-3
+        np.testing.assert_allclose(g.parts, w["boxes"], atol=5e-2)
