@@ -15,6 +15,7 @@ from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .models.model import PackedModel
 from .ops.conv import filter_responses, filter_responses_fft
@@ -93,9 +94,56 @@ def max_root_score(
     params: Optional[dict] = None,
     engine: str = "spatial",
     dtype=jnp.float32,
+    root_masks: Optional[List[jax.Array]] = None,
 ) -> jax.Array:
-    """Best detection score anywhere in the image (differentiable)."""
+    """Best detection score anywhere in the image (differentiable).
+
+    root_masks (optional): per-bucket (S_b, Hr, Wr) bool arrays
+    restricting the max to ground-truth-overlapping root placements —
+    the latent-positive constraint of the SSVM (detect.m testoverlap).
+    """
     scores = root_scores(
         im, packed, plan, params, engine, dtype, with_tables=False
     )
-    return jnp.stack([s.rootv.max() for s in scores]).max()
+    best = []
+    for s in scores:
+        rv = s.rootv
+        if root_masks is not None:
+            rv = jnp.where(root_masks[s.bucket_index], rv, -jnp.inf)
+        best.append(rv.max())
+    return jnp.stack(best).max()
+
+
+def build_root_masks(
+    packed: PackedModel,
+    plan: PyramidPlan,
+    bbox: np.ndarray,
+    overlap: float = 0.5,
+) -> List[np.ndarray]:
+    """Host-side per-bucket root-placement masks: positions whose root
+    window (largest root filter) has IoU >= overlap with bbox
+    (detect.m:338-375). Returns one (S_b, Hr, Wr) bool array per bucket."""
+    from .ops.reference_pipeline import overlap_mask
+
+    spec = packed.spec
+    comp = packed.components[0]
+    fh, fw = int(comp.fsize[0, 0, 0]), int(comp.fsize[0, 0, 1])
+    masks = []
+    for bucket in plan.buckets:
+        m = np.zeros(
+            (len(bucket.scale_indices), bucket.resp_h, bucket.resp_w), bool
+        )
+        for i, sidx in enumerate(bucket.scale_indices):
+            info = plan.scales[sidx]
+            ok = overlap_mask(
+                (bucket.resp_h, bucket.resp_w),
+                (fh, fw),
+                info.box_scale,
+                spec.padx,
+                spec.pady,
+                np.asarray(bbox, dtype=np.float64),
+                overlap,
+            )
+            m[i] = ok
+        masks.append(m)
+    return masks

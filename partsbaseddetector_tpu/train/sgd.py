@@ -32,7 +32,7 @@ import numpy as np
 import optax
 
 from ..models.model import Model, PackedModel, pack_model
-from ..pipeline import make_plan, max_root_score
+from ..pipeline import build_root_masks, make_plan, max_root_score
 
 
 def model_params(model: Model) -> dict:
@@ -77,30 +77,78 @@ def make_loss_fn(
     imsize: Tuple[int, int],
     reg: float = 1e-4,
     margin: float = 1.0,
+    latent: bool = False,
 ):
-    """Binary latent-hinge loss over a batch of images.
+    """Latent-hinge loss over a batch of images.
 
-    labels: +1 (object present somewhere) / -1 (pure negative). The
-    latent placement max is the pipeline's global root-score max.
-    SGD-normalized objective: mean hinge + 0.5*reg*||w||^2 (the
-    reference QP's C plays the inverse role of reg).
+    labels: +1 (object present) / -1 (pure negative). For negatives and
+    unconstrained positives the latent placement max is the global
+    root-score max; with latent=True the loss also takes per-image
+    root-placement masks (from batch_root_masks) restricting positive
+    placements to ground-truth-overlapping ones — the latent SSVM
+    positive constraint. SGD-normalized objective:
+    mean hinge + 0.5*reg*||w||^2.
     """
     plan = make_plan(packed, imsize)
 
-    def score_one(im, params):
-        return max_root_score(im, packed, plan, params=params)
-
-    def loss_fn(params, images, labels):
-        scores = jax.vmap(lambda im: score_one(im, params))(images)
-        hinge = jnp.maximum(0.0, margin - labels * scores)
-        reg_term = 0.5 * (
+    def reg_term(params):
+        return 0.5 * (
             jnp.sum(jnp.square(params["filters"]))
             + jnp.sum(jnp.square(params["defs"]))
             + jnp.sum(jnp.square(params["biases"]))
         )
-        return reg_term * reg + hinge.mean()
+
+    if not latent:
+
+        def loss_fn(params, images, labels):
+            scores = jax.vmap(
+                lambda im: max_root_score(im, packed, plan, params=params)
+            )(images)
+            hinge = jnp.maximum(0.0, margin - labels * scores)
+            return reg_term(params) * reg + hinge.mean()
+
+        return loss_fn
+
+    def loss_fn(params, images, masks, labels):
+        def one(im, m):
+            s_any = max_root_score(im, packed, plan, params=params)
+            s_pos = max_root_score(
+                im, packed, plan, params=params, root_masks=m
+            )
+            return s_any, s_pos
+
+        s_any, s_pos = jax.vmap(one)(images, masks)
+        pos = labels > 0
+        # positives: best GT-constrained placement must clear +margin;
+        # negatives: best placement anywhere must stay below -margin
+        hinge = jnp.where(
+            pos,
+            jnp.maximum(0.0, margin - s_pos),
+            jnp.maximum(0.0, margin + s_any),
+        )
+        return reg_term(params) * reg + hinge.mean()
 
     return loss_fn
+
+
+def batch_root_masks(
+    packed: PackedModel,
+    imsize: Tuple[int, int],
+    bboxes,
+    overlap: float = 0.5,
+):
+    """Per-example root masks for the latent loss. bboxes: (B, 4) GT
+    bounding boxes (use the whole image for negatives). Returns a list
+    of (B, S_b, Hr, Wr) bool arrays, one per bucket."""
+    plan = make_plan(packed, imsize)
+    per_image = [
+        build_root_masks(packed, plan, np.asarray(bb), overlap)
+        for bb in bboxes
+    ]
+    return [
+        jnp.asarray(np.stack([m[b] for m in per_image]))
+        for b in range(len(plan.buckets))
+    ]
 
 
 def make_train_step(
@@ -108,11 +156,30 @@ def make_train_step(
     imsize: Tuple[int, int],
     optimizer: Optional[optax.GradientTransformation] = None,
     reg: float = 1e-4,
+    latent: bool = False,
 ):
-    """Build a jittable (params, opt_state, images, labels) -> step fn."""
+    """Build a jittable training step.
+
+    latent=False: step(params, opt_state, images, labels);
+    latent=True:  step(params, opt_state, images, masks, labels) with
+    masks from batch_root_masks (GT-constrained positive placements).
+    """
     if optimizer is None:
         optimizer = optax.sgd(learning_rate=1e-3, momentum=0.9)
-    loss_fn = make_loss_fn(packed, imsize, reg)
+    loss_fn = make_loss_fn(packed, imsize, reg, latent=latent)
+
+    if latent:
+
+        def step(params, opt_state, images, masks, labels):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, images, masks, labels
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            params = project_defs(params)
+            return params, opt_state, loss
+
+        return step, optimizer
 
     def step(params, opt_state, images, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)

@@ -143,3 +143,67 @@ def test_graft_entry_importable():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert callable(mod.entry) and callable(mod.dryrun_multichip)
+
+
+def test_latent_sgd_training_localizes():
+    """SGD with GT-constrained latent positives must learn to localize a
+    planted pattern — the TPU-native SSVM end to end."""
+    from partsbaseddetector_tpu.train.sgd import batch_root_masks
+    import optax
+
+    rng = np.random.RandomState(0)
+    size = 96
+
+    def scene(rng, with_object):
+        im = rng.rand(size, size, 3) * 30
+        bbox = np.array([0, 0, size - 1, size - 1], float)
+        if with_object:
+            cx, cy = rng.randint(20, size - 36, 2)
+            im[cy : cy + 16, cx : cx + 16, 0] += 220
+            im[cy + 16 : cy + 32, cx : cx + 16, 2] += 220
+            bbox = np.array([cx, cy, cx + 15, cy + 31], float)
+        return np.clip(im, 0, 255).astype(np.float32), bbox
+
+    model = make_synthetic_model(
+        nparts=2, nmix=1, fsize=(2, 2), sbin=8, interval=2, thresh=-1e9, seed=80
+    )
+    # zero-out initial weights so learning does the work
+    for i in range(len(model.filters)):
+        model.filters[i] *= 0
+    packed = pack_model(model)
+
+    images, bboxes, labels = [], [], []
+    for i in range(8):
+        im, bb = scene(rng, i % 2 == 0)
+        images.append(im)
+        bboxes.append(bb)
+        labels.append(1.0 if i % 2 == 0 else -1.0)
+    images = jnp.asarray(np.stack(images))
+    labels = jnp.asarray(np.array(labels, np.float32))
+    masks = batch_root_masks(packed, (size, size), bboxes, overlap=0.3)
+
+    from partsbaseddetector_tpu.train.sgd import make_train_step, model_params
+
+    step, opt = make_train_step(
+        packed, (size, size),
+        optimizer=optax.adam(3e-3), latent=True,
+    )
+    params = model_params(model)
+    opt_state = opt.init(params)
+    jstep = jax.jit(step)
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = jstep(params, opt_state, images, masks, labels)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses[::6]
+
+    # the trained model must score object scenes above background scenes
+    from partsbaseddetector_tpu.train.sgd import apply_params
+    from partsbaseddetector_tpu.pipeline import make_plan, max_root_score
+
+    plan = make_plan(packed, (size, size))
+    im_pos, _ = scene(np.random.RandomState(99), True)
+    im_neg, _ = scene(np.random.RandomState(98), False)
+    s_pos = float(max_root_score(jnp.asarray(im_pos), packed, plan, params=params))
+    s_neg = float(max_root_score(jnp.asarray(im_neg), packed, plan, params=params))
+    assert s_pos > s_neg, (s_pos, s_neg)
