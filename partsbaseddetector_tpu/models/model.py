@@ -161,7 +161,9 @@ class PackedComponent:
         import jax.numpy as jnp
 
         defw = params["defs"][self.defidx]  # (P, M, 4)
-        neg = jnp.asarray(-jnp.inf, params["biases"].dtype)
+        # finite masking on the traced path: -inf arithmetic turns
+        # rematerialized VJPs into NaNs
+        neg = jnp.asarray(-1e10, params["biases"].dtype)
         bias = jnp.where(
             self.biasidx >= 0,
             params["biases"][jnp.maximum(self.biasidx, 0)],

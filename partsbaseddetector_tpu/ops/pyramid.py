@@ -193,11 +193,13 @@ def response_valid_extents(
 
 
 def mask_responses(
-    resp: jax.Array, vh: np.ndarray, vw: np.ndarray
+    resp: jax.Array, vh: np.ndarray, vw: np.ndarray, neg: float = -jnp.inf
 ) -> jax.Array:
     """Set response entries outside each (scale, filter) valid extent to
-    -inf so padded regions can never win any downstream max."""
+    `neg` so padded regions can never win any downstream max. Inference
+    uses -inf; the differentiable training path passes a large finite
+    value (non-finite arithmetic makes rematerialized VJPs NaN)."""
     s, hr, wr, f = resp.shape
     my = jnp.arange(hr)[None, :, None, None] < jnp.asarray(vh)[:, None, None, :]
     mx = jnp.arange(wr)[None, None, :, None] < jnp.asarray(vw)[:, None, None, :]
-    return jnp.where(my & mx, resp, -jnp.inf)
+    return jnp.where(my & mx, resp, neg)

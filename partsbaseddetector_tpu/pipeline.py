@@ -57,10 +57,14 @@ def root_scores(
     engine: str = "spatial",
     dtype=jnp.float32,
     with_tables: bool = True,
+    remat: bool = False,
 ) -> List[BucketScores]:
     """Run HOG pyramid -> responses -> tree DP for every (bucket,
     component). params (optional) = {'filters', 'defs', 'biases'} traced
-    pools for training."""
+    pools for training. remat=True rematerializes the DP block in the
+    backward pass (use for large-image training where activation memory
+    dominates; off by default — jit+checkpoint has shown NaN
+    miscompiles on the CPU backend)."""
     spec = packed.spec
     conv = ENGINES[engine]
     im = im.astype(dtype)
@@ -75,14 +79,28 @@ def root_scores(
     for b, bucket in enumerate(plan.buckets):
         resp = conv(feats[b], filters)
         vh, vw = response_valid_extents(plan, bucket, packed.filter_sizes)
-        resp = mask_responses(resp, vh, vw)
+        neg = -1e10 if params is not None else -jnp.inf
+        resp = mask_responses(resp, vh, vw, neg)
         for c, comp in enumerate(packed.components):
             tensors = comp.tensors(params) if params is not None else None
-            rootv, rooti, tables = tree_min_sum(
-                resp, comp, tensors, valid_extents=(vh, vw)
-            )
-            if not with_tables:
+            if params is not None and not with_tables and remat:
+                # training path: rematerialize the DP block in the
+                # backward pass instead of storing every DT/message
+                # intermediate (jax.checkpoint trades FLOPs for HBM)
+                def scored(resp_, tensors_, comp=comp, vh=vh, vw=vw):
+                    rv, ri, _ = tree_min_sum(
+                        resp_, comp, tensors_, valid_extents=(vh, vw)
+                    )
+                    return rv, ri
+
+                rootv, rooti = jax.checkpoint(scored)(resp, tensors)
                 tables = {}
+            else:
+                rootv, rooti, tables = tree_min_sum(
+                    resp, comp, tensors, valid_extents=(vh, vw)
+                )
+                if not with_tables:
+                    tables = {}
             out.append(BucketScores(b, c, rootv, rooti, tables))
     return out
 
@@ -95,6 +113,7 @@ def max_root_score(
     engine: str = "spatial",
     dtype=jnp.float32,
     root_masks: Optional[List[jax.Array]] = None,
+    remat: bool = False,
 ) -> jax.Array:
     """Best detection score anywhere in the image (differentiable).
 
@@ -103,13 +122,17 @@ def max_root_score(
     the latent-positive constraint of the SSVM (detect.m testoverlap).
     """
     scores = root_scores(
-        im, packed, plan, params, engine, dtype, with_tables=False
+        im, packed, plan, params, engine, dtype, with_tables=False,
+        remat=remat,
     )
     best = []
     for s in scores:
         rv = s.rootv
         if root_masks is not None:
-            rv = jnp.where(root_masks[s.bucket_index], rv, -jnp.inf)
+            # finite masking value (detect.m's INF=1e10): keeps the
+            # hinge finite when an example has no valid placement, so
+            # gradients stay NaN-free under rematerialization
+            rv = jnp.where(root_masks[s.bucket_index], rv, -1e10)
         best.append(rv.max())
     return jnp.stack(best).max()
 

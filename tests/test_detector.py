@@ -123,3 +123,16 @@ def test_detect_pallas_interpret_mode(monkeypatch):
     for g, w in zip(got, want):
         assert abs(g.score - w["score"]) < 2e-3
         np.testing.assert_allclose(g.parts, w["boxes"], atol=5e-2)
+
+
+@pytest.mark.parametrize("shape", [(83, 131), (150, 97), (96, 96)])
+def test_detect_odd_image_sizes(shape):
+    """Rounding chains (cround) and bucket padding must hold up on
+    awkward sizes."""
+    model = make_synthetic_model(
+        nparts=3, nmix=1, fsize=(3, 3), sbin=4, interval=3, thresh=2.0, seed=72
+    )
+    rng = np.random.RandomState(0)
+    im = (rng.rand(*shape, 3) * 255).astype(np.float32)
+    _calibrate_threshold(model, im, keep=6)
+    _run_parity(model, im)
