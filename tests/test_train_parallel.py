@@ -207,3 +207,28 @@ def test_latent_sgd_training_localizes():
     s_pos = float(max_root_score(jnp.asarray(im_pos), packed, plan, params=params))
     s_neg = float(max_root_score(jnp.asarray(im_neg), packed, plan, params=params))
     assert s_pos > s_neg, (s_pos, s_neg)
+
+
+def test_fit_driver_with_checkpoint(tmp_path):
+    from partsbaseddetector_tpu.train.fit import fit
+
+    model = _tiny_model(seed=90)
+    rng = np.random.RandomState(0)
+    images = [
+        (rng.rand(80, 80, 3) * 255).astype(np.float32) for _ in range(8)
+    ]
+    labels = [1, -1] * 4
+    trained, history = fit(
+        model, images, labels,
+        epochs=2, batch_size=4,
+        checkpoint_dir=str(tmp_path / "ckpt"), checkpoint_every=1,
+    )
+    assert len(history) == 2 and np.isfinite(history).all()
+    trained.validate()
+    # resume: a fresh fit picks up at epoch 2 and returns immediately
+    _, history2 = fit(
+        model, images, labels,
+        epochs=2, batch_size=4,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert history2 == []  # already complete
