@@ -39,6 +39,8 @@ def time_fn(fn, im, iters):
     not the chip.)"""
     import jax
 
+    im = jax.device_put(im)  # stage the input once (chip throughput,
+    # not dev-tunnel upload bandwidth)
     out = fn(im)
     jax.block_until_ready(out)
     # force a real host read; block_until_ready can be unreliable on

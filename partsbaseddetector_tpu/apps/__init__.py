@@ -1,1 +1,2 @@
-"""apps subpackage."""
+"""Application surfaces: demo CLI, model transfer CLI, config-driven
+pipelines, streaming node, serializable messages."""

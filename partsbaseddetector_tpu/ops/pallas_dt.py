@@ -28,6 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
+NACC = 4  # independent select-chain accumulators (ILP)
 NEG = float(np.finfo(np.float32).min)  # -inf breaks min-identity padding
 
 
@@ -46,34 +47,42 @@ def _dt_kernel(
     ).astype(jnp.float32)
 
     def chunk_body(c, carry):
-        best, bestv = carry
+        acc = list(carry)  # ILP accumulator pairs (best, bestv)
         chunk = src_ref[:, pl.ds(c * LANE, LANE)]  # (TB, 128), aligned
         qc = q - (c * LANE).astype(jnp.float32)
 
-        def lane_body(j, carry2):
-            best, bestv = carry2
+        # static unroll with ILP accumulators: j mod NACC goes to its
+        # own independent select chain, breaking the loop-carried
+        # dependency; chains merge exactly after the last chunk
+        for j in range(LANE):
+            lane = j % NACC
+            best, bestv = acc[lane]
             sval = chunk[:, j : j + 1]  # (TB, 1), static lane extract
             d = qc - jnp.float32(j)
             val = (a * d + b) * d + sval
             pred = val > best
             v_id = c * LANE + j
-            best = jnp.where(pred, val, best)
-            bestv = jnp.where(pred, v_id, bestv)
-            return best, bestv
+            acc[lane] = (
+                jnp.where(pred, val, best),
+                jnp.where(pred, v_id, bestv),
+            )
+        return tuple(acc)
 
-        # static unroll: every lane index is a compile-time constant
-        for j in range(LANE):
-            best, bestv = lane_body(j, (best, bestv))
-        return best, bestv
-
-    best = jnp.full((tb, dlenp), NEG, jnp.float32)
-    bestv = jnp.zeros((tb, dlenp), jnp.int32)
+    init = tuple(
+        (jnp.full((tb, dlenp), NEG, jnp.float32), jnp.zeros((tb, dlenp), jnp.int32))
+        for _ in range(NACC)
+    )
     # dynamic trip count: chunks past this tile's longest valid source
     # row are pure -inf padding and can never win the max
     live = pl.cdiv(jnp.max(nvalid_ref[:, :]), LANE)
-    best, bestv = jax.lax.fori_loop(
-        0, jnp.minimum(live, nchunks), chunk_body, (best, bestv)
-    )
+    acc = jax.lax.fori_loop(0, jnp.minimum(live, nchunks), chunk_body, init)
+    best, bestv = acc[0]
+    for best2, bestv2 in acc[1:]:
+        # exact first-max merge: strictly greater wins; on ties the
+        # smaller source index wins (envelope tie rule)
+        pred = (best2 > best) | ((best2 == best) & (bestv2 < bestv))
+        best = jnp.where(pred, best2, best)
+        bestv = jnp.where(pred, bestv2, bestv)
     out_ref[:, :] = best
     ptr_ref[:, :] = bestv
 
@@ -93,7 +102,7 @@ def _dt_kernel_aux(
     ).astype(jnp.float32)
 
     def chunk_body(c, carry):
-        best, bestp = carry
+        acc = list(carry)
         chunk = src_ref[:, pl.ds(c * LANE, LANE)]
         # packed pointer per source sample: (aux << 12) | v
         pchunk = (aux_ref[:, pl.ds(c * LANE, LANE)] << 12) | (
@@ -102,21 +111,37 @@ def _dt_kernel_aux(
         qc = q - (c * LANE).astype(jnp.float32)
 
         for j in range(LANE):
+            lane = j % NACC
+            best, bestp = acc[lane]
             sval = chunk[:, j : j + 1]
             pval = pchunk[:, j : j + 1]
             d = qc - jnp.float32(j)
             val = (a * d + b) * d + sval
             pred = val > best
-            best = jnp.where(pred, val, best)
-            bestp = jnp.where(pred, pval, bestp)
-        return best, bestp
+            acc[lane] = (
+                jnp.where(pred, val, best),
+                jnp.where(pred, pval, bestp),
+            )
+        return tuple(acc)
 
-    best = jnp.full((tb, dlenp), NEG, jnp.float32)
-    bestp = jnp.zeros((tb, dlenp), jnp.int32)
-    live = pl.cdiv(jnp.max(nvalid_ref[:, :]), LANE)
-    best, bestp = jax.lax.fori_loop(
-        0, jnp.minimum(live, nchunks), chunk_body, (best, bestp)
+    init = tuple(
+        (
+            jnp.full((tb, dlenp), NEG, jnp.float32),
+            jnp.full((tb, dlenp), 0x7FFFFFFF, jnp.int32),
+        )
+        for _ in range(NACC)
     )
+    live = pl.cdiv(jnp.max(nvalid_ref[:, :]), LANE)
+    acc = jax.lax.fori_loop(0, jnp.minimum(live, nchunks), chunk_body, init)
+    best, bestp = acc[0]
+    for best2, bestp2 in acc[1:]:
+        # tie rule: smaller source index v (the low 12 packed bits)
+        pred = (best2 > best) | (
+            (best2 == best) & ((bestp2 & 0xFFF) < (bestp & 0xFFF))
+        )
+        best = jnp.where(pred, best2, best)
+        bestp = jnp.where(pred, bestp2, bestp)
+    bestp = jnp.where(best == NEG, 0, bestp)  # all-masked rows
     out_ref[:, :] = best
     ptr_ref[:, :] = bestp
 
