@@ -143,6 +143,14 @@ class PackedComponent:
     defidx: np.ndarray = None  # (P, M) int32 into defs pool
     biasidx: np.ndarray = None  # (P, M, M) int32 into bias pool, -1 invalid
     root_biasidx: np.ndarray = None  # (M,) int32, -1 invalid
+    # accumulated octave offset below the root per part (sum of anchor
+    # ds down the tree, detect_fast.m:93-105); a part with ds_total=d
+    # reads its responses from the bucket d octaves finer
+    ds_total: np.ndarray = None  # (P,) int32
+
+    @property
+    def max_ds(self) -> int:
+        return int(self.ds_total.max()) if self.ds_total is not None else 0
 
     @property
     def nparts(self) -> int:
@@ -233,6 +241,7 @@ def pack_model(model: Model) -> PackedModel:
         defidx = np.zeros((P, M), dtype=np.int32)
         biasidx = np.full((P, M, M), -1, dtype=np.int32)
         root_biasidx = np.full(M, -1, dtype=np.int32)
+        ds_total = np.zeros(P, dtype=np.int32)
 
         for p in range(P):
             k = nmix[p]
@@ -256,11 +265,10 @@ def pack_model(model: Model) -> PackedModel:
                 bias[p, :lpar, :k] = tbl
                 biasidx[p, :lpar, :k] = model.biasid[c][p]
                 ds = anchor[p, :k, 2]
-                if np.any(ds != 0):
-                    raise NotImplementedError(
-                        "per-part scale offsets (anchor ds != 0) are not yet "
-                        "supported by the packed fast path"
-                    )
+                assert np.all(ds == ds[0]), (
+                    "all mixtures of a part must share the octave offset"
+                )
+                ds_total[p] = int(ds[0]) + ds_total[parentid[p]]
                 stepk = 1 << int(ds[0])
                 step[p] = stepk
                 virtx = (stepk - 1) * padx
@@ -290,6 +298,7 @@ def pack_model(model: Model) -> PackedModel:
                 defidx=defidx,
                 biasidx=biasidx,
                 root_biasidx=root_biasidx,
+                ds_total=ds_total,
             )
         )
     return PackedModel(

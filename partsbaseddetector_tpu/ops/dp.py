@@ -41,33 +41,64 @@ NEG_INF = -jnp.inf
 
 
 def tree_min_sum(
-    resp: jax.Array,
+    resps,
     comp: PackedComponent,
     tensors=None,
     valid_extents=None,
+    bucket_index: int = 0,
 ) -> Tuple[jax.Array, jax.Array, Dict[int, Tuple[jax.Array, jax.Array, jax.Array]]]:
     """Min-sum message passing for one component over a scale bucket.
 
-    resp: (S, Hr, Wr, F) filter responses, -inf outside valid extents.
+    resps: either a single (S, Hr, Wr, F) response stack (all parts at
+        the root's octave) or the list of per-bucket stacks — a part
+        with accumulated octave offset d reads bucket_index - d (the
+        bucket exactly d octaves finer, whose within-bucket scale index
+        matches the root's: level - d*interval). -inf outside valid
+        extents.
     tensors: optional traced (defw, bias, root_bias) overriding the
         baked model constants — the differentiable training path.
-    valid_extents: optional ((S, F) vh, (S, F) vw) NumPy arrays of true
-        response extents; lets the DT kernel skip -inf padding chunks.
-    Returns (rootv (S, Hr, Wr), rooti (S, Hr, Wr) int32,
-    tables {p: (Ix, Iy, Ik)} each (S, M, Hr, Wr) indexed by parent
-    mixture).
+    valid_extents: optional ((S, F) vh, (S, F) vw) NumPy arrays per
+        bucket (list when resps is a list); lets the DT kernel skip
+        -inf padding chunks.
+    Returns (rootv (S, Hr, Wr) on the root grid, rooti int32, tables
+    {p: packed pointers (S, L_par, H_pargrid, W_pargrid)}).
     """
-    s, hr, wr, _ = resp.shape
-    assert hr < 4096 and wr < 4096, "packed pointers use 12 bits/coordinate"
+    if not isinstance(resps, (list, tuple)):
+        resps = [resps]
+        bucket_index = 0
+        if valid_extents is not None:
+            valid_extents = ([valid_extents[0]], [valid_extents[1]])
+    bucket_of = lambda d: bucket_index - d
+
     p_total, m_total = comp.filterid.shape
-    dtype = resp.dtype
+    ds = (
+        np.asarray(comp.ds_total)
+        if comp.ds_total is not None
+        else np.zeros(p_total, dtype=np.int64)
+    )
+    assert bucket_index >= int(ds.max()), (
+        "root bucket must be at least max octave offset octaves coarse "
+        "(callers skip coarser-than-possible buckets)"
+    )
+    root_resp = resps[bucket_of(0)]
+    s = root_resp.shape[0]
+    dtype = root_resp.dtype
+    for r in resps:
+        assert r.shape[1] < 4096 and r.shape[2] < 4096, (
+            "packed pointers use 12 bits/coordinate"
+        )
     defw_all, bias_all, root_bias = (
         tensors if tensors is not None else comp.tensors()
     )
 
     def part_score(p: int) -> jax.Array:
         idx = np.asarray(comp.filterid[p])  # static gather
-        return jnp.moveaxis(resp[..., idx], -1, 1)  # (S, M, Hr, Wr)
+        r = resps[bucket_of(int(ds[p]))][:s]  # align within-bucket scales
+        return jnp.moveaxis(r[..., idx], -1, 1)  # (S, M, H_p, W_p)
+
+    def grid_of(p: int) -> Tuple[int, int]:
+        r = resps[bucket_of(int(ds[p]))]
+        return r.shape[1], r.shape[2]
 
     acc: Dict[int, jax.Array] = {}
     tables: Dict[int, Tuple[jax.Array, jax.Array, jax.Array]] = {}
@@ -77,18 +108,23 @@ def tree_min_sum(
         if p in acc:
             score = score + acc.pop(p)
 
+        par = int(comp.parentid[p])
+        hr_par, wr_par = grid_of(par)
+
         vhp = vwp = None
         if valid_extents is not None:
             fid = np.asarray(comp.filterid[p])
-            vhp = np.ascontiguousarray(valid_extents[0][:, fid])  # (S, M)
-            vwp = np.ascontiguousarray(valid_extents[1][:, fid])
+            vh_b = valid_extents[0][bucket_of(int(ds[p]))]
+            vw_b = valid_extents[1][bucket_of(int(ds[p]))]
+            vhp = np.ascontiguousarray(vh_b[:s][:, fid])  # (S, M)
+            vwp = np.ascontiguousarray(vw_b[:s][:, fid])
         dt, ptr = shift_distance_transform_2d_packed(
             score,
             jnp.asarray(defw_all[p], dtype),  # (M, 4)
             jnp.asarray(comp.shift_x[p]),  # (M,)
             jnp.asarray(comp.shift_y[p]),
-            dlen_x=wr,
-            dlen_y=hr,
+            dlen_x=wr_par,
+            dlen_y=hr_par,
             step=int(comp.step[p]),
             valid_h=vhp,
             valid_w=vwp,
@@ -118,7 +154,6 @@ def tree_min_sum(
         msg = jnp.stack(msg_l, axis=1)  # (S, L, H, W)
         tables[p] = jnp.stack(ptr_l, axis=1)  # (S, L, H, W) int32
 
-        par = int(comp.parentid[p])
         acc[par] = msg if par not in acc else acc[par] + msg
 
     root = part_score(0)
@@ -126,7 +161,7 @@ def tree_min_sum(
         root = root + acc.pop(0)
     root = root + jnp.asarray(root_bias, dtype)[None, :, None, None]
     rootv = root[:, 0]
-    rooti = jnp.zeros((s, hr, wr), jnp.int32)
+    rooti = jnp.zeros(rootv.shape, jnp.int32)
     for m in range(1, m_total):
         pred = root[:, m] > rootv
         rootv = jnp.where(pred, root[:, m], rootv)
@@ -179,10 +214,17 @@ def backtrack(
         ys[p] = (ptr >> 12) & 0xFFF
         ms[p] = ptr >> 24
 
-    scale = box_scales[si].astype(rootv.dtype)  # (max_det,)
+    root_scale = box_scales[si].astype(rootv.dtype)  # (max_det,)
+    ds = (
+        np.asarray(comp.ds_total)
+        if comp.ds_total is not None
+        else np.zeros(p_total, dtype=np.int64)
+    )
     fsize = jnp.asarray(comp.fsize)  # (P, M, 2)
     boxes = []
     for p in range(p_total):
+        # a part d octaves below the root lives on a 2^d finer grid
+        scale = root_scale / float(1 << int(ds[p]))
         sz = fsize[p][ms[p]]  # (max_det, 2) = (fh, fw)
         x1 = (xs[p].astype(rootv.dtype) + box_off_x) * scale
         y1 = (ys[p].astype(rootv.dtype) + box_off_y) * scale

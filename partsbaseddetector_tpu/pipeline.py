@@ -75,29 +75,50 @@ def root_scores(
         else jnp.asarray(packed.filters, dtype)
     )
 
-    out: List[BucketScores] = []
+    # responses + valid extents for every bucket first (parts with
+    # octave offsets read finer buckets than their root's)
+    neg = -1e10 if params is not None else -jnp.inf
+    resps: List[jax.Array] = []
+    vhs: List[np.ndarray] = []
+    vws: List[np.ndarray] = []
     for b, bucket in enumerate(plan.buckets):
         resp = conv(feats[b], filters)
         vh, vw = response_valid_extents(plan, bucket, packed.filter_sizes)
-        neg = -1e10 if params is not None else -jnp.inf
-        resp = mask_responses(resp, vh, vw, neg)
+        resps.append(mask_responses(resp, vh, vw, neg))
+        vhs.append(vh)
+        vws.append(vw)
+
+    out: List[BucketScores] = []
+    for b, bucket in enumerate(plan.buckets):
         for c, comp in enumerate(packed.components):
+            if b < comp.max_ds:
+                # some part's octave-finer level would not exist at this
+                # root scale (detect_fast.m level bound)
+                continue
             tensors = comp.tensors(params) if params is not None else None
             if params is not None and not with_tables and remat:
                 # training path: rematerialize the DP block in the
                 # backward pass instead of storing every DT/message
                 # intermediate (jax.checkpoint trades FLOPs for HBM)
-                def scored(resp_, tensors_, comp=comp, vh=vh, vw=vw):
+                def scored(resps_, tensors_, comp=comp, b=b):
                     rv, ri, _ = tree_min_sum(
-                        resp_, comp, tensors_, valid_extents=(vh, vw)
+                        resps_,
+                        comp,
+                        tensors_,
+                        valid_extents=(vhs, vws),
+                        bucket_index=b,
                     )
                     return rv, ri
 
-                rootv, rooti = jax.checkpoint(scored)(resp, tensors)
+                rootv, rooti = jax.checkpoint(scored)(resps, tensors)
                 tables = {}
             else:
                 rootv, rooti, tables = tree_min_sum(
-                    resp, comp, tensors, valid_extents=(vh, vw)
+                    resps,
+                    comp,
+                    tensors,
+                    valid_extents=(vhs, vws),
+                    bucket_index=b,
                 )
                 if not with_tables:
                     tables = {}

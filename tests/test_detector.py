@@ -136,3 +136,19 @@ def test_detect_odd_image_sizes(shape):
     im = (rng.rand(*shape, 3) * 255).astype(np.float32)
     _calibrate_threshold(model, im, keep=6)
     _run_parity(model, im)
+
+
+def test_detect_scale_offset_parts_fast_path():
+    """anchor ds=1 parts in the packed TPU pipeline: child reads the
+    octave-finer bucket; parity against the reference pipeline."""
+    model = make_synthetic_model(
+        nparts=3, nmix=2, fsize=(3, 3), sbin=8, interval=2, thresh=0.0, seed=73
+    )
+    for p in (1, 2):
+        for d in model.defid[0][p]:
+            model.anchors[d][2] = 1 if p == 1 else 0
+    rng = np.random.RandomState(2)
+    im = (rng.rand(150, 160, 3) * 255).astype(np.float32)
+    _calibrate_threshold(model, im, keep=8)
+    got = _run_parity(model, im)
+    assert len(got) > 0

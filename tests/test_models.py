@@ -157,8 +157,21 @@ def test_pack_model_shapes():
     assert comp.shift_y[3, 0] == m.anchors[d0][1]
 
 
-def test_pack_rejects_scale_offsets():
+def test_pack_scale_offsets():
     m = make_synthetic_model(nparts=3, nmix=1, seed=7)
-    m.anchors[m.defid[0][1][0]][2] = 1  # ds = 1
-    with pytest.raises(NotImplementedError):
-        pack_model(m)
+    m.anchors[m.defid[0][1][0]][2] = 1  # part 1: ds = 1 (parent = root)
+    pm = pack_model(m)
+    comp = pm.components[0]
+    assert comp.step[1] == 2
+    # ds accumulates down the tree
+    par2 = int(comp.parentid[2])
+    expect2 = (1 if par2 == 1 else 0) + int(
+        m.anchors[m.defid[0][2][0]][2]
+    )
+    assert comp.ds_total[1] == 1
+    assert comp.ds_total[2] == expect2
+    assert comp.max_ds >= 1
+    # virtual padding enters the DT grid origin: shift = anchor - (step-1)*pad
+    pady, padx = m.pad()
+    d0 = m.defid[0][1][0]
+    assert comp.shift_x[1, 0] == m.anchors[d0][0] - (2 - 1) * padx
