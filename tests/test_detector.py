@@ -152,3 +152,22 @@ def test_detect_scale_offset_parts_fast_path():
     _calibrate_threshold(model, im, keep=8)
     got = _run_parity(model, im)
     assert len(got) > 0
+
+
+def test_detect_bf16_mode_runs():
+    """bf16 compute mode: reduced precision is allowed to change scores
+    slightly but the pipeline must run and find the same top detection
+    region."""
+    import jax.numpy as jnp
+
+    model = make_synthetic_model(
+        nparts=3, nmix=1, fsize=(4, 4), sbin=8, interval=2, thresh=-2.0, seed=74
+    )
+    rng = np.random.RandomState(3)
+    im = (rng.rand(100, 100, 3) * 255).astype(np.float32)
+    f32 = PartsBasedDetector(model, max_detections=16).detect(im)
+    bf16 = PartsBasedDetector(
+        model, max_detections=16, dtype=jnp.bfloat16
+    ).detect(im)
+    assert len(bf16) > 0
+    assert abs(bf16[0].score - f32[0].score) < 0.2
