@@ -121,6 +121,14 @@ def shift_distance_transform_2d_packed(
     ax, bx = -wdef[..., 0], -wdef[..., 1]
     ay, by = -wdef[..., 2], -wdef[..., 3]
 
+    def _expand(v, batch_ndim):
+        """Accept per-batch scalars (appended axis) or fully-shaped
+        per-row valid counts (rows with 0 are skipped outright)."""
+        if v is None:
+            return None
+        v = jnp.asarray(v)
+        return v if v.ndim == batch_ndim else v[..., None]
+
     # y pass over columns: (..., H, W) -> (..., W, H) -> dt -> (..., W, dlen_y)
     src_t = jnp.swapaxes(score, -1, -2)
     tmp, tmp_iy = _dt1d(
@@ -130,7 +138,7 @@ def shift_distance_transform_2d_packed(
         jnp.asarray(shift_y)[..., None],
         dlen_y,
         step,
-        nvalid=None if valid_h is None else jnp.asarray(valid_h)[..., None],
+        nvalid=_expand(valid_h, src_t.ndim - 1),
     )
     tmp = jnp.swapaxes(tmp, -1, -2)  # (..., dlen_y, W)
     tmp_iy = jnp.swapaxes(tmp_iy, -1, -2)
@@ -139,7 +147,7 @@ def shift_distance_transform_2d_packed(
     sx = jnp.asarray(shift_x)[..., None]
     bxk = bx[..., None]
     axk = ax[..., None]
-    nw = None if valid_w is None else jnp.asarray(valid_w)[..., None]
+    nw = _expand(valid_w, tmp.ndim - 1)
     if _use_pallas():
         from .pallas_dt import dt1d_pallas
 

@@ -116,8 +116,28 @@ def tree_min_sum(
             fid = np.asarray(comp.filterid[p])
             vh_b = valid_extents[0][bucket_of(int(ds[p]))]
             vw_b = valid_extents[1][bucket_of(int(ds[p]))]
-            vhp = np.ascontiguousarray(vh_b[:s][:, fid])  # (S, M)
-            vwp = np.ascontiguousarray(vw_b[:s][:, fid])
+            vh_sm = np.ascontiguousarray(vh_b[:s][:, fid])  # (S, M)
+            vw_sm = np.ascontiguousarray(vw_b[:s][:, fid])
+            # fully-shaped per-row valid counts: rows that are pure
+            # bucket padding (x >= child valid width) or that land
+            # beyond the parent's valid height get 0 and are skipped
+            # whole-tile by the DT kernel
+            w_child = score.shape[-1]
+            vhp = np.where(
+                np.arange(w_child)[None, None, :] < vw_sm[:, :, None],
+                vh_sm[:, :, None],
+                0,
+            ).astype(np.int32)  # (S, M, W_child) for the y pass
+            par_fid = np.asarray(comp.filterid[par])
+            vh_par = (
+                valid_extents[0][bucket_of(int(ds[par]))][:s][:, par_fid]
+                .max(axis=1)
+            )  # (S,)
+            vwp = np.where(
+                np.arange(hr_par)[None, None, :] < vh_par[:, None, None],
+                vw_sm[:, :, None],
+                0,
+            ).astype(np.int32)  # (S, M, H_parent) for the x pass
         dt, ptr = shift_distance_transform_2d_packed(
             score,
             jnp.asarray(defw_all[p], dtype),  # (M, 4)
