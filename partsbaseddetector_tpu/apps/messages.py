@@ -10,7 +10,7 @@ poses. Any transport (ROS bridge, JSON-RPC, protobuf) can wrap these.
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 

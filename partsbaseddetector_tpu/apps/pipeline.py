@@ -27,9 +27,8 @@ Config schema (a superset of the reference's fields we can honor):
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, List, Optional
+from typing import Optional
 
-import numpy as np
 import yaml
 
 from ..depth import StereoCameraModel

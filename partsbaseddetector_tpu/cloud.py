@@ -19,7 +19,7 @@ Clouds are (N, 3) float arrays; NaN rows are ignored.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

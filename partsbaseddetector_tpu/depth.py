@@ -22,10 +22,8 @@ left incomplete (SURVEY.md §7):
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .models.model import PackedModel

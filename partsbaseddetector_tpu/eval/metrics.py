@@ -118,7 +118,6 @@ def test_model(
     """End-to-end accuracy harness (testmodel.m analog): detect on every
     image, part-NMS, take the best candidate, report PCK."""
     from ..ops.nms import part_nms
-    from ..types import Candidate
 
     preds = []
     for im in images:

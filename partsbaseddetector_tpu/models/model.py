@@ -25,8 +25,7 @@ Conventions (all 0-based):
 from __future__ import annotations
 
 import dataclasses
-import io
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

@@ -22,7 +22,7 @@ from typing import List
 
 import numpy as np
 
-from .model import FLEN, Model
+from .model import Model
 
 
 def _aslist(x) -> list:

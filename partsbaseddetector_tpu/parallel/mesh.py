@@ -21,12 +21,10 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.model import PackedModel
-from ..pipeline import make_plan
 
 
 def make_mesh(
@@ -71,8 +69,6 @@ def sharded_train_step(
     over 'tp'; defs/biases replicated. Returns (jitted_step, init_fn,
     shard_params_fn).
     """
-    import optax
-
     from ..train.sgd import make_train_step
 
     step, opt = make_train_step(packed, imsize, optimizer, reg)

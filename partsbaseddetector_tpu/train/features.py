@@ -20,7 +20,7 @@ the latent SSVM trainer (train/latent.py) can write examples.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import List
 
 import numpy as np
 

@@ -13,7 +13,7 @@ writes it back. Also carries the QP's regularization metadata:
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

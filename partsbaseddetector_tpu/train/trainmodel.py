@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
@@ -25,7 +25,6 @@ from .builder import (
     build_model,
     cluster_parts,
     init_part_model,
-    merge_models,
     relative_part_positions,
 )
 from .data import point_to_box, crop_positive

@@ -8,7 +8,7 @@ annotated image so app layers decide how to display or save it.
 from __future__ import annotations
 
 import colorsys
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
