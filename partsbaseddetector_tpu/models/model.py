@@ -410,6 +410,7 @@ def make_synthetic_model(
     ncomponents: int = 1,
     seed: int = 0,
     chain: bool = False,
+    fsizes: Optional[List[Tuple[int, int]]] = None,
 ) -> Model:
     """Random tree model shaped like the reference's demo models.
 
@@ -417,6 +418,8 @@ def make_synthetic_model(
     Face-like: nparts=68 landmarks. Weights are N(0, 0.1) SVM-like
     filters; deformations positive-quadratic as the trainer initializes
     them (learning/buildmodel.m: def init [0.01 0 0.01 0]).
+    fsizes (optional): per-part filter sizes (cycled), exercising the
+    mixed-size padding paths.
     """
     rng = np.random.RandomState(seed)
     filters: List[np.ndarray] = []
@@ -431,10 +434,11 @@ def make_synthetic_model(
         for p in range(nparts):
             if p > 0:
                 par[p] = p - 1 if chain else rng.randint(0, p)
+            psize = fsizes[p % len(fsizes)] if fsizes else fsize
             fid = []
             for _ in range(nmix):
                 filters.append(
-                    (rng.randn(fsize[0], fsize[1], FLEN) * 0.1).astype(np.float32)
+                    (rng.randn(psize[0], psize[1], FLEN) * 0.1).astype(np.float32)
                 )
                 fid.append(len(filters) - 1)
             fid_c.append(np.array(fid, dtype=np.int32))

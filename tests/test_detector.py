@@ -171,3 +171,19 @@ def test_detect_bf16_mode_runs():
     ).detect(im)
     assert len(bf16) > 0
     assert abs(bf16[0].score - f32[0].score) < 0.2
+
+
+def test_detect_mixed_filter_sizes():
+    """Per-part filter sizes differ (as in real trained models): the
+    shared padded conv grid + per-(scale,filter) valid extents must stay
+    exact."""
+    model = make_synthetic_model(
+        nparts=4, nmix=2, sbin=8, interval=2, thresh=0.0, seed=75,
+        fsizes=[(6, 5), (3, 3), (4, 6), (5, 4)],
+    )
+    model.maxsize = (6, 6)
+    rng = np.random.RandomState(4)
+    im = (rng.rand(150, 170, 3) * 255).astype(np.float32)
+    _calibrate_threshold(model, im, keep=10)
+    got = _run_parity(model, im)
+    assert len(got) > 0
