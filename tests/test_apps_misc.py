@@ -212,3 +212,23 @@ def test_timer_and_validate():
         validate_image(np.full((10, 10, 3), np.nan))
     with pytest.raises(ValueError):
         validate_image(np.zeros((4, 4, 3)), min_side=10)
+
+
+def test_approximate_time_synchronizer():
+    from partsbaseddetector_tpu.apps.sync import ApproximateTimeSynchronizer
+
+    matched = []
+    sync = ApproximateTimeSynchronizer(
+        ["rgb", "depth"], lambda r, d: matched.append((r, d)), slop=0.05
+    )
+    assert not sync.push("rgb", 1.00, "r1")
+    assert not sync.push("rgb", 1.50, "r2")
+    # depth close to r1 -> no (pivot is the later head)... close to r2 matches
+    assert sync.push("depth", 1.52, "d2")
+    assert matched == [("r2", "d2")]
+    # out-of-slop messages don't match
+    assert not sync.push("rgb", 2.0, "r3")
+    assert not sync.push("depth", 2.3, "d3")
+    # within slop later
+    assert sync.push("rgb", 2.28, "r4")
+    assert matched[-1] == ("r4", "d3")
