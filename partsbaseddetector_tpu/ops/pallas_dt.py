@@ -210,6 +210,12 @@ def _dt1d_pallas_2d(
     return out[:bsz, :dlen], ptr[:bsz, :dlen]
 
 
+def _default_tb() -> int:
+    import os
+
+    return int(os.environ.get("PBD_DT_TB", "16"))
+
+
 def dt1d_pallas(
     src,
     a,
@@ -217,7 +223,7 @@ def dt1d_pallas(
     shift,
     dlen: int,
     step: int = 1,
-    tb: int = 16,
+    tb: int = None,
     interpret: bool = False,
     nvalid=None,
     aux=None,
@@ -234,6 +240,8 @@ def dt1d_pallas(
     (aux[argmax] << 12) | argmax — the fused Iy composition.
     Returns (out (..., dlen) f32, ptr (..., dlen) int32).
     """
+    if tb is None:
+        tb = _default_tb()
     batch_shape = src.shape[:-1]
     n = src.shape[-1]
     if nvalid is None:

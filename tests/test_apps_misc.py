@@ -232,3 +232,35 @@ def test_approximate_time_synchronizer():
     # within slop later
     assert sync.push("rgb", 2.28, "r4")
     assert matched[-1] == ("r4", "d3")
+
+
+def test_demo_cli_end_to_end(tmp_path, capsys):
+    from PIL import Image
+
+    from partsbaseddetector_tpu.apps.demo import main as demo_main
+    from partsbaseddetector_tpu.apps.model_transfer import main as mt_main
+
+    model = make_synthetic_model(
+        nparts=3, nmix=1, fsize=(3, 3), sbin=8, interval=2, thresh=-3.0, seed=33
+    )
+    mpath = str(tmp_path / "m.npz")
+    save_model(model, mpath)
+    rng = np.random.RandomState(0)
+    img = (rng.rand(90, 90, 3) * 255).astype(np.uint8)
+    ipath = str(tmp_path / "im.png")
+    Image.fromarray(img).save(ipath)
+    out = str(tmp_path / "out.png")
+
+    rc = demo_main([mpath, ipath, "--out", out, "--nms", "0.3",
+                    "--max-detections", "16"])
+    assert rc == 0
+    assert os.path.exists(out)
+    assert "candidates" in capsys.readouterr().out
+
+    # model transfer CLI round-trips formats
+    xpath = str(tmp_path / "m.xml")
+    assert mt_main([mpath, xpath]) == 0
+    npath = str(tmp_path / "m2.npz")
+    assert mt_main([xpath, npath]) == 0
+    matpath = str(tmp_path / "m.mat")
+    assert mt_main([npath, matpath]) == 0
