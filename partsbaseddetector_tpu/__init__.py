@@ -32,13 +32,17 @@ from .models import (
     make_synthetic_model,
 )
 from .detector import PartsBasedDetector
+from .cpu_detector import CPUPartsBasedDetector
+from .visualize import Visualize
 
 __all__ = [
     "Candidate",
+    "CPUPartsBasedDetector",
     "DetectionResult",
     "Model",
     "ModelSpec",
     "PartsBasedDetector",
+    "Visualize",
     "load_model",
     "save_model",
     "make_synthetic_model",
