@@ -107,6 +107,7 @@ class PartsBasedDetector:
             scores=np.asarray(scores),
             components=np.asarray(comps),
             valid=np.asarray(valid),
+            nparts_by_component=[c.nparts for c in self._packed.components],
         )
 
     def detect_batch(self, images) -> List[List[Candidate]]:
@@ -122,6 +123,7 @@ class PartsBasedDetector:
             fn = self._get_fn(imv.shape[:2])
             outs.append(fn(jnp.asarray(imv, self.dtype)))
         results = []
+        nbc = [c.nparts for c in self._packed.components]
         for out in outs:
             boxes, scores, comps, valid, _ = out
             results.append(
@@ -130,6 +132,7 @@ class PartsBasedDetector:
                     scores=np.asarray(scores),
                     components=np.asarray(comps),
                     valid=np.asarray(valid),
+                    nparts_by_component=nbc,
                 ).to_candidates()
             )
         return results

