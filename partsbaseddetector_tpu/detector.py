@@ -49,12 +49,16 @@ class PartsBasedDetector:
         conv_engine: str = "spatial",
         dtype=jnp.float32,
         nms_overlap: Optional[float] = None,
+        border_mode: str = "matlab",
     ):
         if conv_engine not in ("spatial", "fourier"):
             raise ValueError(f"unknown conv engine: {conv_engine}")
         self.max_detections = int(max_detections)
         self.conv_engine = conv_engine
         self.dtype = dtype
+        # "matlab" (authoritative) or "cpp" (the C++ demo's same-size
+        # grids, one-padded borders, and one-cell box offset)
+        self.border_mode = border_mode
         # optional on-device part-aware NMS (detection/nms.m) applied to
         # the final candidate set before it leaves the chip
         self.nms_overlap = nms_overlap
@@ -68,7 +72,7 @@ class PartsBasedDetector:
     def distribute_model(self, model: Model) -> None:
         """Pack the model into dense device form and reset caches
         (ref: src/PartsBasedDetector.cpp:102-127)."""
-        self._packed = pack_model(model)
+        self._packed = pack_model(model, border=self.border_mode)
         self._fns.clear()
 
     @property
@@ -172,14 +176,18 @@ class PartsBasedDetector:
                     [plan.scales[s].box_scale for s in bucket.scale_indices],
                     self.dtype,
                 )
+                # box origin: MATLAB subtracts the virtual padding; the
+                # C++ demo subtracts one cell (DynamicProgram.cpp:239)
+                off_x = -1 if spec.border == "cpp" else -spec.padx
+                off_y = -1 if spec.border == "cpp" else -spec.pady
                 bx, sc, mx, vd = backtrack(
                     bs.rootv,
                     bs.rooti,
                     bs.tables,
                     comp,
                     box_scales,
-                    box_off_x=-spec.padx,
-                    box_off_y=-spec.pady,
+                    box_off_x=off_x,
+                    box_off_y=off_y,
                     thresh=spec.thresh,
                     max_det=max_det,
                 )

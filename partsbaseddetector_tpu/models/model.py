@@ -109,7 +109,13 @@ class Model:
 
 @dataclasses.dataclass(frozen=True)
 class ModelSpec:
-    """Static hyperparameters the jitted pipeline specializes on."""
+    """Static hyperparameters the jitted pipeline specializes on.
+
+    border: "matlab" (explicit featpyramid padding + valid conv, the
+    authoritative semantics) or "cpp" (the C++ demo's 'same'-size
+    responses with one-padded occlusion borders, emulated by placing
+    each filter at offset pad - anchor inside the padded bank so all
+    responses share one aligned grid)."""
 
     interval: int
     sbin: int
@@ -118,6 +124,7 @@ class ModelSpec:
     norient: int
     pady: int
     padx: int
+    border: str = "matlab"
 
 
 @dataclasses.dataclass
@@ -197,10 +204,21 @@ class PackedModel:
         return max(c.nparts for c in self.components)
 
 
-def pack_model(model: Model) -> PackedModel:
-    """Flatten the canonical model into padded dense arrays."""
+def pack_model(model: Model, border: str = "matlab") -> PackedModel:
+    """Flatten the canonical model into padded dense arrays.
+
+    border="cpp" packs for the C++ demo border semantics: the feature
+    pad frame is one filter tall/wide (occlusion ones all through it)
+    and every filter sits at offset (pad - cv_anchor) in the bank, so
+    the shared valid-conv grid IS the C++ same-size response grid."""
+    assert border in ("matlab", "cpp")
     model.validate()
-    pady, padx = model.pad()
+    fh_max, fw_max = model.max_filter_size()
+    if border == "cpp":
+        # pad frame = pmax on each side (pyramid pads pady+1)
+        pady, padx = fh_max - 1, fw_max - 1
+    else:
+        pady, padx = model.pad()
     spec = ModelSpec(
         interval=int(model.interval),
         sbin=int(model.sbin),
@@ -209,15 +227,31 @@ def pack_model(model: Model) -> PackedModel:
         norient=int(model.norient),
         pady=int(pady),
         padx=int(padx),
+        border=border,
     )
 
-    fh_max, fw_max = model.max_filter_size()
     nf = len(model.filters)
-    filters = np.zeros((nf, fh_max, fw_max, model.flen), dtype=np.float32)
-    fsizes = np.zeros((nf, 2), dtype=np.int32)
-    for i, f in enumerate(model.filters):
-        filters[i, : f.shape[0], : f.shape[1], :] = f
-        fsizes[i] = f.shape[:2]
+    if border == "cpp":
+        pmax_y, pmax_x = fh_max, fw_max
+        dy = np.array(
+            [pmax_y - f.shape[0] // 2 for f in model.filters], dtype=np.int64
+        )
+        dx = np.array(
+            [pmax_x - f.shape[1] // 2 for f in model.filters], dtype=np.int64
+        )
+        bank_h = int(max(dy[i] + f.shape[0] for i, f in enumerate(model.filters)))
+        bank_w = int(max(dx[i] + f.shape[1] for i, f in enumerate(model.filters)))
+        filters = np.zeros((nf, bank_h, bank_w, model.flen), dtype=np.float32)
+        fsizes = np.zeros((nf, 2), dtype=np.int32)
+        for i, f in enumerate(model.filters):
+            filters[i, dy[i] : dy[i] + f.shape[0], dx[i] : dx[i] + f.shape[1]] = f
+            fsizes[i] = f.shape[:2]
+    else:
+        filters = np.zeros((nf, fh_max, fw_max, model.flen), dtype=np.float32)
+        fsizes = np.zeros((nf, 2), dtype=np.int32)
+        for i, f in enumerate(model.filters):
+            filters[i, : f.shape[0], : f.shape[1], :] = f
+            fsizes[i] = f.shape[:2]
 
     comps: List[PackedComponent] = []
     for c in range(model.ncomponents):
@@ -270,6 +304,11 @@ def pack_model(model: Model) -> PackedModel:
                 ds_total[p] = int(ds[0]) + ds_total[parentid[p]]
                 stepk = 1 << int(ds[0])
                 step[p] = stepk
+                if border == "cpp":
+                    assert stepk == 1, (
+                        "octave-offset parts are a MATLAB-path capability; "
+                        "the C++ border mode has none"
+                    )
                 virtx = (stepk - 1) * padx
                 virty = (stepk - 1) * pady
                 # 0-based shiftdt grid origin: anchor - virtpad

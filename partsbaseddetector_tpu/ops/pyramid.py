@@ -182,9 +182,21 @@ def build_pyramid_features(
 
 
 def response_valid_extents(
-    plan: PyramidPlan, bucket: BucketInfo, filter_sizes: np.ndarray
+    plan: PyramidPlan, bucket: BucketInfo, filter_sizes: np.ndarray,
+    border: str = "matlab",
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """(S, F) true valid response extents: pad_size - fsize + 1."""
+    """(S, F) true valid response extents.
+
+    matlab: padded_size - fsize + 1 per filter (valid correlation);
+    cpp: the 'same'-size grid equals the unpadded feature extent for
+    every filter (anchor-offset filter placement aligns them)."""
+    nf = filter_sizes.shape[0]
+    if border == "cpp":
+        fh_ = np.array([plan.scales[s].feat_h for s in bucket.scale_indices])
+        fw_ = np.array([plan.scales[s].feat_w for s in bucket.scale_indices])
+        vh = np.repeat(fh_[:, None], nf, axis=1)
+        vw = np.repeat(fw_[:, None], nf, axis=1)
+        return vh.astype(np.int32), vw.astype(np.int32)
     fh = filter_sizes[:, 0][None, :]
     fw = filter_sizes[:, 1][None, :]
     ph = np.array([plan.scales[s].pad_h for s in bucket.scale_indices])[:, None]

@@ -23,12 +23,35 @@ from ..models.model import Model
 from . import reference
 
 
-def feature_pyramid(im: np.ndarray, model: Model, kernels=reference):
+def same_conv_cpp(feat: np.ndarray, filt: np.ndarray, kernels=reference) -> np.ndarray:
+    """'Same'-size correlation with the C++ engine's border semantics
+    (src/SpatialConvolutionEngine.cpp:133-158): channels 0..C-2 see a
+    zero constant border, the occlusion channel a ONE border; the kernel
+    anchor is cv's (fw//2, fh//2). Output size == feat size."""
+    fh, fw, _ = filt.shape
+    ay, ax = fh // 2, fw // 2
+    padded = np.pad(
+        feat, ((ay, fh - 1 - ay), (ax, fw - 1 - ax), (0, 0)), mode="constant"
+    )
+    padded[..., -1] = np.pad(
+        feat[..., -1],
+        ((ay, fh - 1 - ay), (ax, fw - 1 - ax)),
+        mode="constant",
+        constant_values=1.0,
+    )
+    return kernels.fconv_valid(np.ascontiguousarray(padded), filt)
+
+
+def feature_pyramid(
+    im: np.ndarray, model: Model, kernels=reference, pad: bool = True
+):
     """Exact ragged pyramid of padded HOG features.
 
     Returns (feats, box_scales, padx, pady); feats[i] is
     (fh + 2*(pady+1), fw + 2*(padx+1), flen) with the occlusion channel
-    set to 1 on the pad frame (featpyramid.m:36-45)."""
+    set to 1 on the pad frame (featpyramid.m:36-45). pad=False skips the
+    padding (the C++ demo path has none — src/HOGFeatures.cpp:147-148
+    commented out)."""
     h, w = im.shape[:2]
     sc = 2.0 ** (1.0 / model.interval)
     nscales = 1 + int(
@@ -49,6 +72,8 @@ def feature_pyramid(im: np.ndarray, model: Model, kernels=reference):
             box_scales[j] = 2.0 * box_scales[j - model.interval]
             j += model.interval
 
+    if not pad:
+        return feats, box_scales, 0, 0
     py, px = pady + 1, padx + 1
     for i in range(nscales):
         f = np.pad(feats[i], ((py, py), (px, px), (0, 0)))
@@ -94,6 +119,7 @@ def detect_reference(
     overlap: float = 0.7,
     fixed_mixtures: Optional[np.ndarray] = None,
     kernels=reference,
+    border_mode: str = "matlab",
 ) -> List[dict]:
     """Full-pipeline reference detection.
 
@@ -107,9 +133,12 @@ def detect_reference(
     detection is returned.
     """
     latent = part_boxes is not None
+    cpp = border_mode == "cpp"
     if thresh is None:
         thresh = model.thresh
-    feats, box_scales, padx, pady = feature_pyramid(im, model, kernels)
+    feats, box_scales, padx, pady = feature_pyramid(
+        im, model, kernels, pad=not cpp
+    )
     detections: List[dict] = []
 
     # per-part octave offsets relative to the root (detect_fast.m:93-105):
@@ -131,9 +160,15 @@ def detect_reference(
     def resp(lv: int, f: int) -> np.ndarray:
         key = (lv, f)
         if key not in resp_cache:
-            resp_cache[key] = kernels.fconv_valid(
-                np.ascontiguousarray(feats[lv]), model.filters[f]
-            )
+            if cpp:
+                # C++ 'same'-size engine with one-padded occlusion border
+                resp_cache[key] = same_conv_cpp(
+                    feats[lv], model.filters[f], kernels
+                )
+            else:
+                resp_cache[key] = kernels.fconv_valid(
+                    np.ascontiguousarray(feats[lv]), model.filters[f]
+                )
         return resp_cache[key]
 
     for level in range(len(feats)):
@@ -243,8 +278,11 @@ def detect_reference(
                         mv[p] = Ik[p][yv[par], xv[par], mv[par]]
                     fh, fw = model.filters[model.filterid[c][p][mv[p]]].shape[:2]
                     scale = box_scales[int(part_level[p])]
-                    x1 = (xv[p] - padx) * scale
-                    y1 = (yv[p] - pady) * scale
+                    # box origin: MATLAB subtracts the virtual padding;
+                    # the C++ demo subtracts one cell (DynamicProgram.cpp:239)
+                    off = 1 if cpp else 0
+                    x1 = (xv[p] - padx - off) * scale
+                    y1 = (yv[p] - pady - off) * scale
                     boxes[p] = [x1, y1, x1 + fw * scale - 1, y1 + fh * scale - 1]
                 detections.append(
                     dict(

@@ -83,7 +83,9 @@ def root_scores(
     vws: List[np.ndarray] = []
     for b, bucket in enumerate(plan.buckets):
         resp = conv(feats[b], filters)
-        vh, vw = response_valid_extents(plan, bucket, packed.filter_sizes)
+        vh, vw = response_valid_extents(
+            plan, bucket, packed.filter_sizes, spec.border
+        )
         resps.append(mask_responses(resp, vh, vw, neg))
         vhs.append(vh)
         vws.append(vw)

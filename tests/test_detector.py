@@ -206,3 +206,24 @@ def test_detect_components_with_different_part_counts():
     got = _run_parity(model, im)
     comps = {c.component for c in got}
     assert comps == {0, 1} or len(comps) >= 1
+
+
+def test_detect_cpp_border_mode():
+    """BASELINE configs 1-2 run via the C++ demo path: 'same'-size
+    responses with one-padded occlusion borders, one-cell box offset.
+    The packed TPU pipeline must match the same-conv reference."""
+    model = make_synthetic_model(
+        nparts=4, nmix=2, sbin=8, interval=2, thresh=0.0, seed=78,
+        fsizes=[(4, 4), (3, 5), (5, 3), (4, 4)],
+    )
+    rng = np.random.RandomState(6)
+    im = (rng.rand(140, 150, 3) * 255).astype(np.float32)
+    probe = detect_reference(im, model, thresh=-1e9, border_mode="cpp")
+    model.thresh = sorted((d["score"] for d in probe), reverse=True)[9] - 1e-6
+    want = [d for d in probe if d["score"] >= model.thresh]
+    det = PartsBasedDetector(model, max_detections=64, border_mode="cpp")
+    got = det.detect(im)
+    assert len(got) == len(want), (len(got), len(want))
+    for g, w in zip(got, want):
+        assert abs(g.score - w["score"]) < 2e-3, (g.score, w["score"])
+        np.testing.assert_allclose(g.parts, w["boxes"], atol=5e-2)
