@@ -50,6 +50,7 @@ class PartsBasedDetector:
         dtype=jnp.float32,
         nms_overlap: Optional[float] = None,
         border_mode: str = "matlab",
+        buckets_per_octave: int = 1,
     ):
         if conv_engine not in ("spatial", "fourier"):
             raise ValueError(f"unknown conv engine: {conv_engine}")
@@ -59,6 +60,8 @@ class PartsBasedDetector:
         # "matlab" (authoritative) or "cpp" (the C++ demo's same-size
         # grids, one-padded borders, and one-cell box offset)
         self.border_mode = border_mode
+        # >1 trades program count for less bucket-padding waste
+        self.buckets_per_octave = int(buckets_per_octave)
         # optional on-device part-aware NMS (detection/nms.m) applied to
         # the final candidate set before it leaves the chip
         self.nms_overlap = nms_overlap
@@ -160,7 +163,7 @@ class PartsBasedDetector:
     def _build_fn(self, imsize: Tuple[int, int]):
         packed = self._packed
         spec = packed.spec
-        plan = make_plan(packed, imsize)
+        plan = make_plan(packed, imsize, self.buckets_per_octave)
         max_det = self.max_detections
         p_max = packed.max_nparts
 

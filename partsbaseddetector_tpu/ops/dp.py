@@ -46,6 +46,7 @@ def tree_min_sum(
     tensors=None,
     valid_extents=None,
     bucket_index: int = 0,
+    buckets_per_octave: int = 1,
 ) -> Tuple[jax.Array, jax.Array, Dict[int, Tuple[jax.Array, jax.Array, jax.Array]]]:
     """Min-sum message passing for one component over a scale bucket.
 
@@ -68,7 +69,7 @@ def tree_min_sum(
         bucket_index = 0
         if valid_extents is not None:
             valid_extents = ([valid_extents[0]], [valid_extents[1]])
-    bucket_of = lambda d: bucket_index - d
+    bucket_of = lambda d: bucket_index - d * buckets_per_octave
 
     p_total, m_total = comp.filterid.shape
     ds = (
@@ -76,7 +77,7 @@ def tree_min_sum(
         if comp.ds_total is not None
         else np.zeros(p_total, dtype=np.int64)
     )
-    assert bucket_index >= int(ds.max()), (
+    assert bucket_index >= int(ds.max()) * buckets_per_octave, (
         "root bucket must be at least max octave offset octaves coarse "
         "(callers skip coarser-than-possible buckets)"
     )

@@ -64,6 +64,7 @@ class PyramidPlan:
     nscales: int
     scales: Tuple[ScaleInfo, ...]
     buckets: Tuple[BucketInfo, ...]
+    buckets_per_octave: int = 1
 
 
 def build_plan(
@@ -71,7 +72,15 @@ def build_plan(
     spec: ModelSpec,
     fh_max: int,
     fw_max: int,
+    buckets_per_octave: int = 1,
 ) -> PyramidPlan:
+    """buckets_per_octave > 1 splits each octave into finer buckets:
+    less padding waste in the batched conv/DT (scales within a bucket
+    span a smaller size range) at the cost of more program instances.
+    Must divide the interval. Octave-offset parts keep working: a part
+    d octaves down reads bucket b - d*buckets_per_octave."""
+    if spec.interval % buckets_per_octave:
+        raise ValueError("buckets_per_octave must divide the interval")
     h, w = imsize
     sc = 2.0 ** (1.0 / spec.interval)
     nscales = 1 + int(
@@ -113,8 +122,9 @@ def build_plan(
         )
 
     buckets: List[BucketInfo] = []
-    for start in range(0, nscales, spec.interval):
-        idxs = tuple(range(start, min(start + spec.interval, nscales)))
+    bsz = spec.interval // buckets_per_octave
+    for start in range(0, nscales, bsz):
+        idxs = tuple(range(start, min(start + bsz, nscales)))
         max_h = max(scales[i].pad_h for i in idxs)
         max_w = max(scales[i].pad_w for i in idxs)
         feat_h = max_h + fh_max - 1
@@ -129,7 +139,11 @@ def build_plan(
             )
         )
     return PyramidPlan(
-        imsize=imsize, nscales=nscales, scales=tuple(scales), buckets=tuple(buckets)
+        imsize=imsize,
+        nscales=nscales,
+        scales=tuple(scales),
+        buckets=tuple(buckets),
+        buckets_per_octave=buckets_per_octave,
     )
 
 

@@ -44,9 +44,13 @@ class BucketScores(NamedTuple):
     tables: Dict[int, Tuple[jax.Array, jax.Array, jax.Array]]
 
 
-def make_plan(packed: PackedModel, imsize: Tuple[int, int]) -> PyramidPlan:
+def make_plan(
+    packed: PackedModel, imsize: Tuple[int, int], buckets_per_octave: int = 1
+) -> PyramidPlan:
     fh_max, fw_max = packed.filters.shape[1], packed.filters.shape[2]
-    return build_plan(imsize, packed.spec, fh_max, fw_max)
+    return build_plan(
+        imsize, packed.spec, fh_max, fw_max, buckets_per_octave
+    )
 
 
 def root_scores(
@@ -90,10 +94,11 @@ def root_scores(
         vhs.append(vh)
         vws.append(vw)
 
+    bpo = spec.interval // len(plan.buckets[0].scale_indices)         if plan.buckets[0].scale_indices else 1
     out: List[BucketScores] = []
     for b, bucket in enumerate(plan.buckets):
         for c, comp in enumerate(packed.components):
-            if b < comp.max_ds:
+            if b < comp.max_ds * bpo:
                 # some part's octave-finer level would not exist at this
                 # root scale (detect_fast.m level bound)
                 continue
@@ -109,6 +114,7 @@ def root_scores(
                         tensors_,
                         valid_extents=(vhs, vws),
                         bucket_index=b,
+                        buckets_per_octave=bpo,
                     )
                     return rv, ri
 
@@ -121,6 +127,7 @@ def root_scores(
                     tensors,
                     valid_extents=(vhs, vws),
                     bucket_index=b,
+                    buckets_per_octave=bpo,
                 )
                 if not with_tables:
                     tables = {}

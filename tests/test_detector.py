@@ -227,3 +227,24 @@ def test_detect_cpp_border_mode():
     for g, w in zip(got, want):
         assert abs(g.score - w["score"]) < 2e-3, (g.score, w["score"])
         np.testing.assert_allclose(g.parts, w["boxes"], atol=5e-2)
+
+
+def test_detect_half_octave_buckets():
+    """buckets_per_octave=2 must be numerically identical to the
+    default octave buckets (incl. octave-offset parts)."""
+    model = make_synthetic_model(
+        nparts=3, nmix=2, fsize=(3, 3), sbin=8, interval=2, thresh=0.0, seed=79
+    )
+    for d in model.defid[0][1]:
+        model.anchors[d][2] = 1  # part 1 one octave down
+    rng = np.random.RandomState(7)
+    im = (rng.rand(150, 160, 3) * 255).astype(np.float32)
+    _calibrate_threshold(model, im, keep=8)
+    base = PartsBasedDetector(model, max_detections=64).detect(im)
+    half = PartsBasedDetector(
+        model, max_detections=64, buckets_per_octave=2
+    ).detect(im)
+    assert len(base) == len(half)
+    for a, b in zip(base, half):
+        assert abs(a.score - b.score) < 1e-5
+        np.testing.assert_allclose(a.parts, b.parts, atol=1e-4)
