@@ -29,7 +29,8 @@ ITERS = 20
 
 
 def build(det_cls, model):
-    det = det_cls(model, max_detections=256)
+    # half-octave buckets: ~14% less bucket-padding waste in conv/DT
+    det = det_cls(model, max_detections=256, buckets_per_octave=2)
     return det.detect_fn(IMSIZE)
 
 
