@@ -195,8 +195,13 @@ class PartsBasedDetector:
                     max_det=max_det,
                 )
                 pc = comp.nparts
-                if pc < p_max:  # pad part dim across components
-                    bx = jnp.pad(bx, ((0, 0), (0, p_max - pc), (0, 0)))
+                if pc < p_max:  # pad part dim across components by
+                    # replicating the root box (keeps union-box NMS and
+                    # bounding boxes unaffected by padding)
+                    rep = jnp.broadcast_to(
+                        bx[:, :1], (bx.shape[0], p_max - pc, 4)
+                    )
+                    bx = jnp.concatenate([bx, rep], axis=1)
                     mx = jnp.pad(mx, ((0, 0), (0, p_max - pc)))
                 boxes_l.append(bx)
                 scores_l.append(sc)
