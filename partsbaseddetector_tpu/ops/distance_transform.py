@@ -66,6 +66,7 @@ def _dt1d(
     dlen: int,
     step: int,
     nvalid=None,
+    use_pallas=None,
 ) -> tuple[jax.Array, jax.Array]:
     """1-D max-plus transform along the last axis.
 
@@ -74,7 +75,9 @@ def _dt1d(
     region beyond it must already be -inf).
     Returns (out (..., dlen), argmax int32 (..., dlen)).
     """
-    if _use_pallas():
+    if use_pallas is None:
+        use_pallas = _use_pallas()
+    if use_pallas:
         from .pallas_dt import dt1d_pallas
 
         return dt1d_pallas(
@@ -105,6 +108,7 @@ def shift_distance_transform_2d_packed(
     step: int = 1,
     valid_h=None,
     valid_w=None,
+    differentiable: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """2-D shifted/subsampled generalized DT with packed pointers.
 
@@ -114,10 +118,13 @@ def shift_distance_transform_2d_packed(
     shift_x / shift_y: broadcastable to score.shape[:-2], 0-based output
         grid origins (MATLAB startx/starty minus 1).
     valid_h / valid_w: optional per-batch valid extents (perf hint).
+    differentiable=True forces the XLA broadcast-reduce path (the Pallas
+    kernel has no VJP; training goes through jnp.max's subgradient).
     Returns (msg, ptr) with ptr = (Iy << 12) | Ix int32 — on the Pallas
     path the Iy = tmpIy[Ix] composition (shiftdt.cc:102-108) is fused
     into the x-pass kernel, avoiding an 8M-element gather.
     """
+    use_pallas = _use_pallas() and not differentiable
     ax, bx = -wdef[..., 0], -wdef[..., 1]
     ay, by = -wdef[..., 2], -wdef[..., 3]
 
@@ -139,6 +146,7 @@ def shift_distance_transform_2d_packed(
         dlen_y,
         step,
         nvalid=_expand(valid_h, src_t.ndim - 1),
+        use_pallas=use_pallas,
     )
     tmp = jnp.swapaxes(tmp, -1, -2)  # (..., dlen_y, W)
     tmp_iy = jnp.swapaxes(tmp_iy, -1, -2)
@@ -148,7 +156,7 @@ def shift_distance_transform_2d_packed(
     bxk = bx[..., None]
     axk = ax[..., None]
     nw = _expand(valid_w, tmp.ndim - 1)
-    if _use_pallas():
+    if use_pallas:
         from .pallas_dt import dt1d_pallas
 
         msg, ptr = dt1d_pallas(
@@ -156,7 +164,9 @@ def shift_distance_transform_2d_packed(
             interpret=_interpret(),
         )
         return msg, ptr
-    msg, ix = _dt1d(tmp, axk, bxk, sx, dlen_x, step, nvalid=nw)
+    msg, ix = _dt1d(
+        tmp, axk, bxk, sx, dlen_x, step, nvalid=nw, use_pallas=use_pallas
+    )
     iy = jnp.take_along_axis(tmp_iy, ix, axis=-1)
     return msg, (iy << 12) | ix
 

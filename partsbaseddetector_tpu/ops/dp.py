@@ -149,6 +149,9 @@ def tree_min_sum(
             step=int(comp.step[p]),
             valid_h=vhp,
             valid_w=vwp,
+            # the training path differentiates through the DT max — the
+            # Pallas kernel has no VJP, so use the XLA formulation
+            differentiable=tensors is not None,
         )
 
         # combine child mixtures per parent mixture l via an unrolled
