@@ -50,7 +50,7 @@ def train(
     iters: int = 3,
     c_svm: float = 0.002,
     wpos: float = 2.0,
-    overlap: float = 0.7,
+    overlap: float = 0.6,  # train.m:40-41 default
     nmax: int = 2000,
     max_neg_per_image: int = 20,
     fixed_mixtures: Optional[np.ndarray] = None,
@@ -116,6 +116,19 @@ def train(
                 )
                 phi = placement_feature(model, layout, feats, pl)
                 qp.write(phi, (1, i + 1, 0, 0), label=1, fixed=True)
+
+        npos = int((qp.ids[: qp.n, 0] > 0).sum())
+        if not warp and npos == 0:
+            # a latent round with zero positives would collapse the QP
+            # to the all-negative degenerate optimum (weights -> 0,
+            # bias -> -1); keep the previous model instead
+            import warnings
+
+            warnings.warn(
+                "latent round mined 0 positives (overlap constraint too "
+                "strict for this grid?) — keeping the previous model"
+            )
+            return model
 
         # optimize on positives first (train.m:91-94)
         if qp.n:
