@@ -67,6 +67,7 @@ def _dt1d(
     step: int,
     nvalid=None,
     use_pallas=None,
+    differentiable: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """1-D max-plus transform along the last axis.
 
@@ -82,7 +83,7 @@ def _dt1d(
 
         return dt1d_pallas(
             src, a, b, shift, dlen, step, nvalid=nvalid,
-            interpret=_interpret(),
+            interpret=_interpret(), differentiable=differentiable,
         )
     n = src.shape[-1]
     dtype = src.dtype
@@ -118,13 +119,13 @@ def shift_distance_transform_2d_packed(
     shift_x / shift_y: broadcastable to score.shape[:-2], 0-based output
         grid origins (MATLAB startx/starty minus 1).
     valid_h / valid_w: optional per-batch valid extents (perf hint).
-    differentiable=True forces the XLA broadcast-reduce path (the Pallas
-    kernel has no VJP; training goes through jnp.max's subgradient).
+    differentiable=True attaches the max-subgradient custom VJP to the
+    Pallas kernel (training differentiates straight through it).
     Returns (msg, ptr) with ptr = (Iy << 12) | Ix int32 — on the Pallas
     path the Iy = tmpIy[Ix] composition (shiftdt.cc:102-108) is fused
     into the x-pass kernel, avoiding an 8M-element gather.
     """
-    use_pallas = _use_pallas() and not differentiable
+    use_pallas = _use_pallas()
     ax, bx = -wdef[..., 0], -wdef[..., 1]
     ay, by = -wdef[..., 2], -wdef[..., 3]
 
@@ -147,6 +148,7 @@ def shift_distance_transform_2d_packed(
         step,
         nvalid=_expand(valid_h, src_t.ndim - 1),
         use_pallas=use_pallas,
+        differentiable=differentiable,
     )
     tmp = jnp.swapaxes(tmp, -1, -2)  # (..., dlen_y, W)
     tmp_iy = jnp.swapaxes(tmp_iy, -1, -2)
@@ -161,11 +163,12 @@ def shift_distance_transform_2d_packed(
 
         msg, ptr = dt1d_pallas(
             tmp, axk, bxk, sx, dlen_x, step, nvalid=nw, aux=tmp_iy,
-            interpret=_interpret(),
+            interpret=_interpret(), differentiable=differentiable,
         )
         return msg, ptr
     msg, ix = _dt1d(
-        tmp, axk, bxk, sx, dlen_x, step, nvalid=nw, use_pallas=use_pallas
+        tmp, axk, bxk, sx, dlen_x, step, nvalid=nw, use_pallas=use_pallas,
+        differentiable=differentiable,
     )
     iy = jnp.take_along_axis(tmp_iy, ix, axis=-1)
     return msg, (iy << 12) | ix

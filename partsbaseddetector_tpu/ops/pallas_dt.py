@@ -216,6 +216,48 @@ def _default_tb() -> int:
     return int(os.environ.get("PBD_DT_TB", "16"))
 
 
+@functools.lru_cache(maxsize=None)
+def _diff_dt(dlen: int, step: int, tb: int, interpret: bool, has_aux: bool):
+    """custom_vjp wrapper so the training path can differentiate
+    through the Pallas kernel: the forward saves the argmax pointers;
+    the backward is the max's subgradient —
+      d(out)/d(src[v]) = sum of cotangents at outputs whose argmax is v,
+      d(out)/d(a) = g * d^2, d(out)/d(b) = g * d with d = q - v*.
+    shift and aux are non-differentiable (integer grid metadata)."""
+
+    @jax.custom_vjp
+    def f(src, a, b, shift, nvalid, aux):
+        return _dt1d_pallas_2d(
+            src, a, b, shift, nvalid, aux, dlen, step, tb, interpret, has_aux
+        )
+
+    def fwd(src, a, b, shift, nvalid, aux):
+        out, ptr = f(src, a, b, shift, nvalid, aux)
+        return (out, ptr), (ptr, shift, src.shape[-1])
+
+    def bwd(res, cots):
+        g_out, _ = cots  # pointer cotangent is symbolically zero (int)
+        ptr, shift, n = res
+        v = (ptr & 0xFFF) if has_aux else ptr
+        q = shift[:, None].astype(jnp.float32) + step * jax.lax.broadcasted_iota(
+            jnp.int32, g_out.shape, 1
+        ).astype(jnp.float32)
+        d = q - v.astype(jnp.float32)
+        g_a = jnp.sum(g_out * d * d, axis=-1)  # (B,)
+        g_b = jnp.sum(g_out * d, axis=-1)
+        # scatter cotangents to winning sources (one-hot contraction —
+        # same O(dlen*N) shape as the forward, fuses on device)
+        onehot = (
+            v[..., :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+        ).astype(g_out.dtype)
+        g_src = jnp.einsum("bq,bqn->bn", g_out, onehot)
+        return g_src, g_a, g_b, jnp.zeros_like(shift), None, None
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def dt1d_pallas(
     src,
     a,
@@ -227,6 +269,7 @@ def dt1d_pallas(
     interpret: bool = False,
     nvalid=None,
     aux=None,
+    differentiable: bool = False,
 ):
     """Batched 1-D DT along the last axis via the Pallas kernel.
 
@@ -251,8 +294,19 @@ def dt1d_pallas(
     full = lambda x: jnp.broadcast_to(jnp.asarray(x), batch_shape).reshape(bsz)
     has_aux = aux is not None
     aux2 = aux.reshape(bsz, n) if has_aux else src2[..., :0]
-    out, ptr = _dt1d_pallas_2d(
-        src2, full(a), full(b), full(shift), full(nvalid), aux2,
-        dlen, step, tb, interpret, has_aux,
-    )
+    if differentiable:
+        fn = _diff_dt(dlen, step, tb, interpret, has_aux)
+        out, ptr = fn(
+            src2,
+            full(a).astype(jnp.float32),
+            full(b).astype(jnp.float32),
+            full(shift).astype(jnp.float32),
+            jnp.asarray(full(nvalid), jnp.int32),
+            aux2,
+        )
+    else:
+        out, ptr = _dt1d_pallas_2d(
+            src2, full(a), full(b), full(shift), full(nvalid), aux2,
+            dlen, step, tb, interpret, has_aux,
+        )
     return out.reshape(*batch_shape, dlen), ptr.reshape(*batch_shape, dlen)

@@ -69,3 +69,33 @@ def test_pallas_dt_aux_packing():
     ix = np.asarray(ix)
     want = (np.take_along_axis(aux, ix, axis=1) << 12) | ix
     np.testing.assert_array_equal(np.asarray(ptr), want)
+
+
+def test_pallas_dt_custom_vjp_matches_xla_grads():
+    """The Pallas kernel's custom VJP must match the XLA max-subgradient
+    for src, a and b."""
+    import jax
+    import jax.numpy as jnp
+
+    from partsbaseddetector_tpu.ops import distance_transform as dtm
+
+    rng = np.random.RandomState(0)
+    src = jnp.asarray(rng.randn(3, 20).astype(np.float32))
+    a = jnp.asarray(np.full(3, -0.05, np.float32))
+    b = jnp.asarray(np.full(3, 0.02, np.float32))
+    shift = jnp.zeros(3, jnp.float32)
+
+    def loss_pallas(src, a, b):
+        out, _ = dt1d_pallas(
+            src, a, b, shift, 20, 1, interpret=True, differentiable=True
+        )
+        return jnp.sum(out * jnp.arange(20.0))
+
+    def loss_xla(src, a, b):
+        out, _ = dtm._dt1d(src, a, b, shift, 20, 1, use_pallas=False)
+        return jnp.sum(out * jnp.arange(20.0))
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(src, a, b)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(src, a, b)
+    for p_, x_ in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(p_), np.asarray(x_), rtol=1e-5, atol=1e-5)
