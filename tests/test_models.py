@@ -175,3 +175,35 @@ def test_pack_scale_offsets():
     pady, padx = m.pad()
     d0 = m.defid[0][1][0]
     assert comp.shift_x[1, 0] == m.anchors[d0][0] - (2 - 1) * padx
+
+
+def test_readers_reject_malformed_files(tmp_path):
+    """Format readers fail cleanly on malformed inputs."""
+    from partsbaseddetector_tpu.models import FileStorageModel, load_model
+
+    bad_xml = tmp_path / "bad.xml"
+    bad_xml.write_text("<opencv_storage><name>x</name></opencv_storage>")
+    with pytest.raises((KeyError, TypeError, ValueError, AttributeError)):
+        FileStorageModel.read(str(bad_xml))
+
+    not_xml = tmp_path / "garbage.xml"
+    not_xml.write_text("this is not xml at all {{{")
+    with pytest.raises(Exception):
+        FileStorageModel.read(str(not_xml))
+
+    bad_npz = tmp_path / "bad.npz"
+    np.savez(str(bad_npz), unrelated=np.zeros(3))
+    with pytest.raises(Exception):
+        load_model(str(bad_npz))
+
+    truncated = tmp_path / "trunc.npz"
+    truncated.write_bytes(b"PK\x03\x04 definitely not a full zip")
+    with pytest.raises(Exception):
+        load_model(str(truncated))
+
+
+def test_model_validate_catches_bad_topology():
+    m = make_synthetic_model(nparts=3, nmix=1, seed=8)
+    m.parentid[0] = np.array([0, 2, 1], dtype=np.int32)  # child before parent
+    with pytest.raises(AssertionError):
+        m.validate()
