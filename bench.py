@@ -72,7 +72,7 @@ from partsbaseddetector_tpu import PartsBasedDetector
 from partsbaseddetector_tpu.models.model import make_person_like_model
 model = make_person_like_model()
 model.thresh = 100.0
-det = PartsBasedDetector(model, max_detections=256)
+det = PartsBasedDetector(model, max_detections=256, buckets_per_octave=2)
 fn = det.detect_fn((480, 640))
 im = (np.random.RandomState(0).rand(480, 640, 3) * 255).astype(np.float32)
 out = fn(im); jax.block_until_ready(out)
