@@ -101,69 +101,45 @@ def tree_min_sum(
         r = resps[bucket_of(int(ds[p]))]
         return r.shape[1], r.shape[2]
 
-    acc: Dict[int, jax.Array] = {}
-    tables: Dict[int, Tuple[jax.Array, jax.Array, jax.Array]] = {}
+    def _valid_counts(p: int, par: int, score: jax.Array, hr_par: int):
+        if valid_extents is None:
+            return None, None
+        fid = np.asarray(comp.filterid[p])
+        vh_b = valid_extents[0][bucket_of(int(ds[p]))]
+        vw_b = valid_extents[1][bucket_of(int(ds[p]))]
+        vh_sm = np.ascontiguousarray(vh_b[:s][:, fid])  # (S, M)
+        vw_sm = np.ascontiguousarray(vw_b[:s][:, fid])
+        # fully-shaped per-row valid counts: rows that are pure bucket
+        # padding (x >= child valid width) or that land beyond the
+        # parent's valid height get 0 and are skipped whole-tile by the
+        # DT kernel
+        w_child = score.shape[-1]
+        vhp = np.where(
+            np.arange(w_child)[None, None, :] < vw_sm[:, :, None],
+            vh_sm[:, :, None],
+            0,
+        ).astype(np.int32)  # (S, M, W_child) for the y pass
+        par_fid = np.asarray(comp.filterid[par])
+        vh_par = (
+            valid_extents[0][bucket_of(int(ds[par]))][:s][:, par_fid]
+            .max(axis=1)
+        )  # (S,)
+        vwp = np.where(
+            np.arange(hr_par)[None, None, :] < vh_par[:, None, None],
+            vw_sm[:, :, None],
+            0,
+        ).astype(np.int32)  # (S, M, H_parent) for the x pass
+        return vhp, vwp
 
-    for p in range(p_total - 1, 0, -1):
-        score = part_score(p)
-        if p in acc:
-            score = score + acc.pop(p)
-
-        par = int(comp.parentid[p])
-        hr_par, wr_par = grid_of(par)
-
-        vhp = vwp = None
-        if valid_extents is not None:
-            fid = np.asarray(comp.filterid[p])
-            vh_b = valid_extents[0][bucket_of(int(ds[p]))]
-            vw_b = valid_extents[1][bucket_of(int(ds[p]))]
-            vh_sm = np.ascontiguousarray(vh_b[:s][:, fid])  # (S, M)
-            vw_sm = np.ascontiguousarray(vw_b[:s][:, fid])
-            # fully-shaped per-row valid counts: rows that are pure
-            # bucket padding (x >= child valid width) or that land
-            # beyond the parent's valid height get 0 and are skipped
-            # whole-tile by the DT kernel
-            w_child = score.shape[-1]
-            vhp = np.where(
-                np.arange(w_child)[None, None, :] < vw_sm[:, :, None],
-                vh_sm[:, :, None],
-                0,
-            ).astype(np.int32)  # (S, M, W_child) for the y pass
-            par_fid = np.asarray(comp.filterid[par])
-            vh_par = (
-                valid_extents[0][bucket_of(int(ds[par]))][:s][:, par_fid]
-                .max(axis=1)
-            )  # (S,)
-            vwp = np.where(
-                np.arange(hr_par)[None, None, :] < vh_par[:, None, None],
-                vw_sm[:, :, None],
-                0,
-            ).astype(np.int32)  # (S, M, H_parent) for the x pass
-        dt, ptr = shift_distance_transform_2d_packed(
-            score,
-            jnp.asarray(defw_all[p], dtype),  # (M, 4)
-            jnp.asarray(comp.shift_x[p]),  # (M,)
-            jnp.asarray(comp.shift_y[p]),
-            dlen_x=wr_par,
-            dlen_y=hr_par,
-            step=int(comp.step[p]),
-            valid_h=vhp,
-            valid_w=vwp,
-            # the training path differentiates through the DT max — the
-            # Pallas kernel has no VJP, so use the XLA formulation
-            differentiable=tensors is not None,
-        )
-
-        # combine child mixtures per parent mixture l via an unrolled
-        # first-max-wins where-chain: one fused elementwise kernel per l
-        # producing (msg, pointers) together — no argmax reduction, no
-        # take_along_axis gathers (detect_fast.m:134-141 semantics).
-        # Pointers pack (Ik, Iy, Ix) into one int32 (12 bits per grid
-        # coordinate) — one table per part instead of three.
+    def _combine(p: int, dt: jax.Array, ptr: jax.Array):
+        """Mixture combine per parent mixture l via an unrolled
+        first-max-wins where-chain: one fused elementwise kernel per l
+        producing (msg, pointers) together — no argmax reduction, no
+        take_along_axis gathers (detect_fast.m:134-141 semantics).
+        Pointers pack (Ik, Iy, Ix) into one int32 (12 bits/coordinate) —
+        one table per part instead of three."""
         bias = jnp.asarray(bias_all[p], dtype)  # (L=M, K=M), -inf padded
-        packed = [
-            (jnp.int32(k) << 24) | ptr[:, k] for k in range(m_total)
-        ]
+        packed = [(jnp.int32(k) << 24) | ptr[:, k] for k in range(m_total)]
         msg_l, ptr_l = [], []
         for l in range(m_total):
             best = dt[:, 0] + bias[l, 0]
@@ -175,10 +151,82 @@ def tree_min_sum(
                 ptrb = jnp.where(pred, packed[k], ptrb)
             msg_l.append(best)
             ptr_l.append(ptrb)
-        msg = jnp.stack(msg_l, axis=1)  # (S, L, H, W)
-        tables[p] = jnp.stack(ptr_l, axis=1)  # (S, L, H, W) int32
+        return jnp.stack(msg_l, axis=1), jnp.stack(ptr_l, axis=1)
 
-        acc[par] = msg if par not in acc else acc[par] + msg
+    # group parts by tree depth: all parts of a level are independent,
+    # so their distance transforms run as ONE batched kernel call per
+    # (grid-compatible) group — cutting kernel-launch count ~tree-depth
+    # fold vs the reference's per-part sequence
+    depth = np.zeros(p_total, dtype=np.int64)
+    for p in range(1, p_total):
+        depth[p] = depth[int(comp.parentid[p])] + 1
+    levels: Dict[int, List[int]] = {}
+    for p in range(1, p_total):
+        levels.setdefault(int(depth[p]), []).append(p)
+
+    acc: Dict[int, jax.Array] = {}
+    tables: Dict[int, Tuple[jax.Array, jax.Array, jax.Array]] = {}
+
+    for lvl in sorted(levels, reverse=True):
+        # sub-group by (child grid, parent grid, step): stacked parts
+        # must share every static DT parameter
+        groups: Dict[tuple, List[int]] = {}
+        for p in levels[lvl]:
+            par = int(comp.parentid[p])
+            key = (int(ds[p]), int(ds[par]), int(comp.step[p]))
+            groups.setdefault(key, []).append(p)
+
+        for (_, _, step), parts in groups.items():
+            par_grids = [grid_of(int(comp.parentid[p])) for p in parts]
+            hr_par, wr_par = par_grids[0]
+            scores, vhs_g, vws_g = [], [], []
+            for p in parts:
+                sc = part_score(p)
+                if p in acc:
+                    sc = sc + acc.pop(p)
+                scores.append(sc)
+                vhp, vwp = _valid_counts(p, int(comp.parentid[p]), sc, hr_par)
+                vhs_g.append(vhp)
+                vws_g.append(vwp)
+            g = len(parts)
+            score_g = jnp.stack(scores, axis=0)  # (G, S, M, H, W)
+            # params shaped (G, 1, M, ...) so they broadcast over the
+            # (G, S, M, rows) batch of the stacked transform
+            if tensors is not None:
+                defw_g = jnp.stack([defw_all[p] for p in parts], axis=0)[
+                    :, None
+                ]
+            else:
+                defw_g = jnp.asarray(
+                    np.stack([defw_all[p] for p in parts])[:, None], dtype
+                )
+            sx_g = jnp.asarray(
+                np.stack([comp.shift_x[p] for p in parts])[:, None]
+            )
+            sy_g = jnp.asarray(
+                np.stack([comp.shift_y[p] for p in parts])[:, None]
+            )
+            vh_g = None if vhs_g[0] is None else np.stack(vhs_g)
+            vw_g = None if vws_g[0] is None else np.stack(vws_g)
+
+            dt_g, ptr_g = shift_distance_transform_2d_packed(
+                score_g,
+                defw_g,  # (G, M, 4)
+                sx_g,  # (G, M)
+                sy_g,
+                dlen_x=wr_par,
+                dlen_y=hr_par,
+                step=step,
+                valid_h=vh_g,
+                valid_w=vw_g,
+                differentiable=tensors is not None,
+            )
+
+            for i, p in enumerate(parts):
+                msg, tbl = _combine(p, dt_g[i], ptr_g[i])
+                tables[p] = tbl
+                par = int(comp.parentid[p])
+                acc[par] = msg if par not in acc else acc[par] + msg
 
     root = part_score(0)
     if 0 in acc:
