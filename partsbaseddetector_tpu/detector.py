@@ -144,6 +144,68 @@ class PartsBasedDetector:
             )
         return results
 
+    def detect_batch_fn(self, imsize: Tuple[int, int], batch: int):
+        """Fused batched program: ONE jitted vmap of the full pipeline
+        over a (batch, H, W, 3) stack — shared bucket plans, batched
+        Pallas DT grids, one top-k per image. This is the
+        batched-throughput serving path (BASELINE config 4); the batch
+        size is bounded by HBM (the bucket-0 response stack is
+        ~0.7 GB/image for person-VGA), so large request batches stream
+        through microbatches of this program (see detect_many)."""
+        key = ("batch", int(imsize[0]), int(imsize[1]), int(batch))
+        if key not in self._fns:
+            single = self._build_fn((int(imsize[0]), int(imsize[1])))
+            self._fns[key] = jax.jit(jax.vmap(single))
+        return self._fns[key]
+
+    def detect_many(
+        self, images, microbatch: int = 4
+    ) -> List[List[Candidate]]:
+        """High-throughput batch API: pads the request list to
+        microbatch multiples, streams fused vmap microbatches through
+        the chip with async dispatch, and syncs once."""
+        from .utils.profiling import validate_image
+
+        if len(images) == 0:
+            return []
+        imgs = [
+            validate_image(im, min_side=5 * self._packed.spec.sbin)
+            for im in images
+        ]
+        shape = imgs[0].shape[:2]
+        assert all(im.shape[:2] == shape for im in imgs), (
+            "detect_many requires same-shape images; mixed shapes go "
+            "through detect_batch (one program per shape)"
+        )
+        n = len(imgs)
+        pad = (-n) % microbatch
+        if pad:
+            imgs += [imgs[-1]] * pad
+        fn = self.detect_batch_fn(shape, microbatch)
+        outs = []
+        for i in range(0, len(imgs), microbatch):
+            chunk = jnp.asarray(
+                np.stack(imgs[i : i + microbatch]), self.dtype
+            )
+            outs.append(fn(chunk))  # async dispatch, no host sync
+        nbc = [c.nparts for c in self._packed.components]
+        results: List[List[Candidate]] = []
+        for out in outs:
+            boxes, scores, comps, valid, _ = [np.asarray(o) for o in out]
+            for j in range(boxes.shape[0]):
+                if len(results) == n:
+                    break
+                results.append(
+                    DetectionResult(
+                        boxes=boxes[j],
+                        scores=scores[j],
+                        components=comps[j],
+                        valid=valid[j],
+                        nparts_by_component=nbc,
+                    ).to_candidates()
+                )
+        return results
+
     def detect_fn(self, imsize: Tuple[int, int]):
         """The raw jitted function for an image shape; returns
         (boxes, scores, components, valid, mixtures). Useful for vmap /
