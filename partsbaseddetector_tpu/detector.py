@@ -108,13 +108,14 @@ class PartsBasedDetector:
 
         im = validate_image(im, min_side=5 * self._packed.spec.sbin)
         fn = self._get_fn(im.shape[:2])
-        boxes, scores, comps, valid, _ = fn(jnp.asarray(im, self.dtype))
+        boxes, scores, comps, valid, mixtures = fn(jnp.asarray(im, self.dtype))
         return DetectionResult(
             boxes=np.asarray(boxes),
             scores=np.asarray(scores),
             components=np.asarray(comps),
             valid=np.asarray(valid),
             nparts_by_component=[c.nparts for c in self._packed.components],
+            mixtures=np.asarray(mixtures),
         )
 
     def detect_batch(self, images) -> List[List[Candidate]]:
@@ -132,7 +133,7 @@ class PartsBasedDetector:
         results = []
         nbc = [c.nparts for c in self._packed.components]
         for out in outs:
-            boxes, scores, comps, valid, _ = out
+            boxes, scores, comps, valid, mix = out
             results.append(
                 DetectionResult(
                     boxes=np.asarray(boxes),
@@ -140,6 +141,7 @@ class PartsBasedDetector:
                     components=np.asarray(comps),
                     valid=np.asarray(valid),
                     nparts_by_component=nbc,
+                    mixtures=np.asarray(mix),
                 ).to_candidates()
             )
         return results
@@ -191,7 +193,7 @@ class PartsBasedDetector:
         nbc = [c.nparts for c in self._packed.components]
         results: List[List[Candidate]] = []
         for out in outs:
-            boxes, scores, comps, valid, _ = [np.asarray(o) for o in out]
+            boxes, scores, comps, valid, mix = [np.asarray(o) for o in out]
             for j in range(boxes.shape[0]):
                 if len(results) == n:
                     break
@@ -202,6 +204,7 @@ class PartsBasedDetector:
                         components=comps[j],
                         valid=valid[j],
                         nparts_by_component=nbc,
+                        mixtures=mix[j],
                     ).to_candidates()
                 )
         return results

@@ -93,7 +93,10 @@ def _node_numbers(node: _Node) -> np.ndarray:
 
 
 def _parse_xml(path: str) -> _Node:
-    root = ET.parse(path).getroot()  # <opencv_storage>
+    try:
+        root = ET.parse(path).getroot()  # <opencv_storage>
+    except ET.ParseError as e:
+        raise ValueError(f"malformed FileStorage XML {path!r}: {e}") from e
     return _Node("map", {c.tag: _xml_to_node(c) for c in root})
 
 

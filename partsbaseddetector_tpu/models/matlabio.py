@@ -44,7 +44,15 @@ class MatlabIOModel:
     def read(path: str) -> Model:
         import scipy.io as sio
 
-        data = sio.loadmat(path, squeeze_me=True, struct_as_record=False)
+        try:
+            data = sio.loadmat(path, squeeze_me=True, struct_as_record=False)
+        except Exception as e:
+            # scipy's MAT5 parser surfaces assorted internal errors on
+            # corrupt bytes (incl. UnboundLocalError); normalize to one
+            # clean, documented failure mode
+            raise ValueError(f"malformed .mat model file {path!r}: {e}") from e
+        if "model" not in data:
+            raise KeyError(f"no 'model' variable in {path!r}")
         m = data["model"]
 
         interval = int(m.interval)

@@ -29,6 +29,9 @@ class Candidate:
     parts: np.ndarray
     confidence: np.ndarray
     component: int = 0
+    # (P,) int32 per-part appearance-mixture argmaxes (Ik backtrack);
+    # None when produced by a path that does not track them
+    mixtures: Optional[np.ndarray] = None
 
     @property
     def score(self) -> float:
@@ -37,7 +40,9 @@ class Candidate:
 
     def resize(self, factor: float) -> "Candidate":
         """Rescale all part boxes about the origin (ref: Candidate.hpp:82-89)."""
-        return Candidate(self.parts * factor, self.confidence, self.component)
+        return Candidate(
+            self.parts * factor, self.confidence, self.component, self.mixtures
+        )
 
     def bounding_box(self) -> np.ndarray:
         """Hull of all part boxes (ref: Candidate.hpp:105-111). Returns [x1,y1,x2,y2]."""
@@ -130,6 +135,10 @@ class DetectionResult:
     components: np.ndarray
     valid: np.ndarray
     nparts_by_component: Optional[Sequence[int]] = None
+    # (max_det, P_max) int32 per-part mixture (appearance-type) argmaxes
+    # — the DP's Ik backtrack output (detect_fast.m:144-177); optional
+    # because host-side constructors (e.g. CPU twin) may omit it
+    mixtures: Optional[np.ndarray] = None
 
     def to_candidates(self) -> List[Candidate]:
         out: List[Candidate] = []
@@ -148,6 +157,11 @@ class DetectionResult:
                     np.asarray(self.boxes[i, :nparts], dtype=np.float64),
                     conf,
                     comp,
+                    mixtures=(
+                        np.asarray(self.mixtures[i, :nparts], dtype=np.int32)
+                        if self.mixtures is not None
+                        else None
+                    ),
                 )
             )
         return out

@@ -77,6 +77,20 @@ def test_config_parse_and_pipeline_constructs(tmp_path):
     assert result.candidates is not None
 
 
+@pytest.mark.parametrize("name", ["config_person", "config_face"])
+def test_shipped_example_configs_parse(name):
+    """Both shipped .by_parts examples (mirroring the reference's
+    conf/config_person.by_parts and conf/config_face.by_parts) parse
+    into a full PipelineConfig."""
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "conf", f"{name}.by_parts"
+    )
+    cfg = parse_config(path)
+    assert cfg.model_file.endswith(".npz")
+    assert cfg.visualize
+    assert 0.0 < cfg.max_overlap < 1.0
+
+
 def test_config_rejects_missing_pipeline(tmp_path):
     path = str(tmp_path / "bad.by_parts")
     with open(path, "w") as fh:

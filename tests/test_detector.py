@@ -30,6 +30,10 @@ def _run_parity(model, im, engine="spatial", atol=2e-3):
             g.parts, w["boxes"], rtol=1e-4, atol=5e-2
         )
         assert g.component == w["component"]
+        # "identical part argmaxes" bar: per-part appearance-mixture
+        # indices (the Ik backtrack) must match the loop reference
+        # exactly, not just the boxes they induce
+        np.testing.assert_array_equal(g.mixtures, w["mixtures"])
     return got
 
 
