@@ -295,6 +295,57 @@ void pbd_shiftdt(const double* score, int64_t h, int64_t w, double wx2,
       iy[y * dlen_x + x] = tmp_iy[(size_t)y * w + ix[y * dlen_x + x]];
 }
 
+// Batched 2-D shifted DT over K mixture maps of one part: scores
+// (K, h, w) contiguous; per-mixture deformation (K, 4) [wx2 wx1 wy2
+// wy1], shifts (K, 2) [sx sy]; one shared step. Outputs (K, dy, dx).
+// Replaces K Python-driven pbd_shiftdt calls in the serving loop.
+void pbd_shiftdt_batch(const double* scores, int64_t K, int64_t h, int64_t w,
+                       const double* defs, const int64_t* shifts,
+                       int64_t dlen_x, int64_t dlen_y, int64_t step,
+                       double* msg, int32_t* ix, int32_t* iy) {
+  for (int64_t k = 0; k < K; ++k) {
+    pbd_shiftdt(scores + (size_t)k * h * w, h, w, defs[k * 4 + 0],
+                defs[k * 4 + 1], defs[k * 4 + 2], defs[k * 4 + 3],
+                shifts[k * 2 + 0], shifts[k * 2 + 1], dlen_x, dlen_y, step,
+                msg + (size_t)k * dlen_y * dlen_x,
+                ix + (size_t)k * dlen_y * dlen_x,
+                iy + (size_t)k * dlen_y * dlen_x);
+  }
+}
+
+// Mixture combine (passmsg, detect_fast.m:118-141): per parent mixture
+// l, msg[l] = max_k (dt[k] + bias[l, k]) with first-max argmax; gathers
+// the winning (ix, iy) and records ik. dt/ix/iy (K, n); bias (L, K);
+// outputs (L, n).
+void pbd_mixture_combine(const double* dt, const int32_t* ix,
+                         const int32_t* iy, int64_t K, int64_t n,
+                         const double* bias, int64_t L, double* msg,
+                         int32_t* oix, int32_t* oiy, int32_t* oik) {
+#pragma omp parallel for
+  for (int64_t l = 0; l < L; ++l) {
+    const double* bl = bias + l * K;
+    double* ml = msg + (size_t)l * n;
+    int32_t* xl = oix + (size_t)l * n;
+    int32_t* yl = oiy + (size_t)l * n;
+    int32_t* kl = oik + (size_t)l * n;
+    for (int64_t i = 0; i < n; ++i) {
+      double best = dt[i] + bl[0];
+      int64_t bk = 0;
+      for (int64_t k = 1; k < K; ++k) {
+        const double v = dt[(size_t)k * n + i] + bl[k];
+        if (v > best) {
+          best = v;
+          bk = k;
+        }
+      }
+      ml[i] = best;
+      xl[i] = ix[(size_t)bk * n + i];
+      yl[i] = iy[(size_t)bk * n + i];
+      kl[i] = (int32_t)bk;
+    }
+  }
+}
+
 // ---------------------------------------------------------------------------
 // Multi-channel valid correlation: feat (h, w, c) x filt (fh, fw, c)
 // ---------------------------------------------------------------------------
@@ -312,6 +363,71 @@ void pbd_fconv_valid(const float* feat, int64_t h, int64_t w, int64_t c,
         for (int64_t jc = 0; jc < fw * c; ++jc) acc += (double)frow[jc] * krow[jc];
       }
       out[y * ow + x] = (float)acc;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Bank correlation: ONE feature map x MANY same-size filters.
+//
+// The serving-path hot loop (the reference parallelizes convolutions
+// across filters with OpenMP, src/SpatialConvolutionEngine.cpp:106-124;
+// its MEX twins use pthreads/BLAS, matlab/mex/fconvMT.cc/fconvblas.cc).
+// Here the whole bank runs as im2row + a blocked SGEMM so the patch
+// extraction is amortized over all filters and the inner loop is a
+// contiguous SIMD dot product:
+//   patches (oh*ow, K=fh*fw*c) row-major; bank (nf, K); out (nf, oh, ow).
+// ---------------------------------------------------------------------------
+
+void pbd_fconv_bank(const float* feat, int64_t h, int64_t w, int64_t c,
+                    const float* bank, int64_t nf, int64_t fh, int64_t fw,
+                    float* out) {
+  const int64_t oh = h - fh + 1, ow = w - fw + 1;
+  if (oh <= 0 || ow <= 0 || nf <= 0) return;
+  const int64_t K = fh * fw * c;
+  const int64_t npix = oh * ow;
+  // im2row scratch: each output pixel's receptive field, contiguous.
+  std::vector<float> patches((size_t)npix * K);
+#ifdef _OPENMP
+#pragma omp parallel for
+#endif
+  for (int64_t y = 0; y < oh; ++y) {
+    for (int64_t x = 0; x < ow; ++x) {
+      float* dst = patches.data() + ((size_t)(y * ow + x)) * K;
+      for (int64_t i = 0; i < fh; ++i) {
+        const float* srow = feat + ((y + i) * w + x) * c;
+        std::memcpy(dst + i * fw * c, srow, sizeof(float) * fw * c);
+      }
+    }
+  }
+  // (nf, K) @ (K, npix)^T — register-friendly: 4 filters per pass share
+  // each patch row (the bandwidth-heavy operand streams once per group).
+#ifdef _OPENMP
+#pragma omp parallel for
+#endif
+  for (int64_t f0 = 0; f0 < nf; f0 += 4) {
+    const int64_t fn = std::min<int64_t>(4, nf - f0);
+    const float* b0 = bank + (f0 + 0) * K;
+    const float* b1 = bank + (f0 + (fn > 1 ? 1 : 0)) * K;
+    const float* b2 = bank + (f0 + (fn > 2 ? 2 : 0)) * K;
+    const float* b3 = bank + (f0 + (fn > 3 ? 3 : 0)) * K;
+    for (int64_t p = 0; p < npix; ++p) {
+      const float* row = patches.data() + (size_t)p * K;
+      float a0 = 0.f, a1 = 0.f, a2 = 0.f, a3 = 0.f;
+#ifdef _OPENMP
+#pragma omp simd reduction(+ : a0, a1, a2, a3)
+#endif
+      for (int64_t k = 0; k < K; ++k) {
+        const float r = row[k];
+        a0 += r * b0[k];
+        a1 += r * b1[k];
+        a2 += r * b2[k];
+        a3 += r * b3[k];
+      }
+      out[(f0 + 0) * npix + p] = a0;
+      if (fn > 1) out[(f0 + 1) * npix + p] = a1;
+      if (fn > 2) out[(f0 + 2) * npix + p] = a2;
+      if (fn > 3) out[(f0 + 3) * npix + p] = a3;
     }
   }
 }

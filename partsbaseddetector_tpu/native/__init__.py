@@ -71,6 +71,16 @@ def _load() -> Optional[ctypes.CDLL]:
             i64, i64, i64, i64, i64, f64p, i32p, i32p,
         ]
         lib.pbd_fconv_valid.argtypes = [f32p, i64, i64, i64, f32p, i64, i64, f32p]
+        lib.pbd_fconv_bank.argtypes = [
+            f32p, i64, i64, i64, f32p, i64, i64, i64, f32p,
+        ]
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+        lib.pbd_shiftdt_batch.argtypes = [
+            f64p, i64, i64, i64, f64p, i64p, i64, i64, i64, f64p, i32p, i32p,
+        ]
+        lib.pbd_mixture_combine.argtypes = [
+            f64p, i32p, i32p, i64, i64, f64p, i64, f64p, i32p, i32p, i32p,
+        ]
         lib.pbd_paint_nms.argtypes = [f64p, i64, i64, i64, ctypes.c_double, u8p]
         lib.pbd_version.restype = ctypes.c_int64
         _lib = lib
@@ -141,6 +151,33 @@ def fconv_valid(feat: np.ndarray, filt: np.ndarray) -> np.ndarray:
     return out
 
 
+def fconv_bank(feat: np.ndarray, filters) -> list:
+    """Responses of MANY same/mixed-size filters on one feature map in
+    few native calls: filters are grouped by (fh, fw) and each group
+    runs as one im2row+SGEMM pass with OpenMP over filters (the batched
+    analog of the reference's per-filter OpenMP loop,
+    src/SpatialConvolutionEngine.cpp:106-124). Returns per-filter
+    response maps in input order."""
+    lib = _load()
+    feat = np.ascontiguousarray(feat, dtype=np.float32)
+    h, w, c = feat.shape
+    groups = {}
+    for i, f in enumerate(filters):
+        groups.setdefault(f.shape[:2], []).append(i)
+    outs = [None] * len(filters)
+    for (fh, fw), idxs in groups.items():
+        bank = np.ascontiguousarray(
+            np.stack([filters[i] for i in idxs]), dtype=np.float32
+        )
+        nf = len(idxs)
+        oh, ow = h - fh + 1, w - fw + 1
+        res = np.zeros((nf, oh, ow), dtype=np.float32)
+        lib.pbd_fconv_bank(feat, h, w, c, bank, nf, fh, fw, res)
+        for j, i in enumerate(idxs):
+            outs[i] = res[j]
+    return outs
+
+
 def paint_nms(boxes: np.ndarray, im_shape, overlap: float = 0.0) -> np.ndarray:
     """boxes (N, 4) sorted by descending score -> bool keep mask."""
     lib = _load()
@@ -153,3 +190,41 @@ def paint_nms(boxes: np.ndarray, im_shape, overlap: float = 0.0) -> np.ndarray:
 # reference-pipeline-compatible alias
 def shift_dt_2d(score, w, shift_x, shift_y, dlen_x, dlen_y, step=1):
     return shiftdt(score, w, shift_x, shift_y, dlen_x, dlen_y, step)
+
+
+def shift_dt_2d_batch(scores, defs, shifts, dlen_x, dlen_y, step=1):
+    """K mixture maps in one native call. scores (K, h, w); defs (K, 4)
+    [wx2 wx1 wy2 wy1]; shifts (K, 2) [sx, sy]. Returns (msg, ix, iy)
+    each (K, dlen_y, dlen_x)."""
+    lib = _load()
+    scores = np.ascontiguousarray(scores, dtype=np.float64)
+    K, h, w = scores.shape
+    defs = np.ascontiguousarray(defs, dtype=np.float64)
+    shifts = np.ascontiguousarray(shifts, dtype=np.int64)
+    msg = np.empty((K, dlen_y, dlen_x), dtype=np.float64)
+    ix = np.empty((K, dlen_y, dlen_x), dtype=np.int32)
+    iy = np.empty((K, dlen_y, dlen_x), dtype=np.int32)
+    lib.pbd_shiftdt_batch(
+        scores, K, h, w, defs, shifts, int(dlen_x), int(dlen_y), int(step),
+        msg, ix, iy,
+    )
+    return msg, ix, iy
+
+
+def mixture_combine(dt, ix, iy, bias):
+    """passmsg combine: dt/ix/iy (K, ny, nx); bias (L, K). Returns
+    (msg, ix, iy, ik) each (L, ny, nx), first-max over k."""
+    lib = _load()
+    K, ny, nx = dt.shape
+    n = ny * nx
+    dt = np.ascontiguousarray(dt, dtype=np.float64)
+    ix = np.ascontiguousarray(ix, dtype=np.int32)
+    iy = np.ascontiguousarray(iy, dtype=np.int32)
+    bias = np.ascontiguousarray(bias, dtype=np.float64)
+    L = bias.shape[0]
+    msg = np.empty((L, ny, nx), dtype=np.float64)
+    oix = np.empty((L, ny, nx), dtype=np.int32)
+    oiy = np.empty((L, ny, nx), dtype=np.int32)
+    oik = np.empty((L, ny, nx), dtype=np.int32)
+    lib.pbd_mixture_combine(dt, ix, iy, K, n, bias, L, msg, oix, oiy, oik)
+    return msg, oix, oiy, oik

@@ -157,10 +157,21 @@ def detect_reference(
     # level-indexed response cache shared across root levels/components
     resp_cache: Dict[Tuple[int, int], np.ndarray] = {}
 
+    # the native library exposes a bank entry (one im2row+SGEMM pass for
+    # ALL filters of a level, OpenMP across filters); the hot serving
+    # path uses it instead of len(filters) per-filter calls
+    has_bank = hasattr(kernels, "fconv_bank") and not cpp
+
     def resp(lv: int, f: int) -> np.ndarray:
         key = (lv, f)
         if key not in resp_cache:
-            if cpp:
+            if has_bank:
+                maps = kernels.fconv_bank(
+                    np.ascontiguousarray(feats[lv]), model.filters
+                )
+                for fi, m in enumerate(maps):
+                    resp_cache[(lv, fi)] = m
+            elif cpp:
                 # C++ 'same'-size engine with one-padded occlusion border
                 resp_cache[key] = same_conv_cpp(
                     feats[lv], model.filters[f], kernels
@@ -213,11 +224,48 @@ def detect_reference(
             Ix: Dict[int, np.ndarray] = {}
             Iy: Dict[int, np.ndarray] = {}
             Ik: Dict[int, np.ndarray] = {}
+            # the native library exposes batched DT + combine entries
+            # (K mixtures / L parents per call, no per-call Python
+            # marshalling); use them when every mixture shares the grid
+            # step — otherwise the generic per-mixture loop
+            has_batch = hasattr(kernels, "shift_dt_2d_batch")
             for p in range(P - 1, 0, -1):
                 par = int(model.parentid[c][p])
                 ny, nx = score[par].shape[:2]
                 K = model.nmixtures(c, p)
                 L = model.nmixtures(c, par)
+                anchs = [model.anchors[int(model.defid[c][p][k])] for k in range(K)]
+                steps = [1 << int(a[2]) for a in anchs]
+                btab = model.biases[model.biasid[c][p]]  # (L, K)
+                if has_batch and len(set(steps)) == 1:
+                    step = steps[0]
+                    defs_k = np.stack(
+                        [model.defs[int(model.defid[c][p][k])] for k in range(K)]
+                    )
+                    shifts_k = np.array(
+                        [
+                            [
+                                int(a[0]) - (step - 1) * padx,
+                                int(a[1]) - (step - 1) * pady,
+                            ]
+                            for a in anchs
+                        ],
+                        dtype=np.int64,
+                    )
+                    scores_k = np.ascontiguousarray(
+                        score[p].transpose(2, 0, 1), dtype=np.float64
+                    )
+                    m0, x0_, y0_ = kernels.shift_dt_2d_batch(
+                        scores_k, defs_k, shifts_k, nx, ny, step
+                    )
+                    msgL, ixL, iyL, ikL = kernels.mixture_combine(
+                        m0, x0_, y0_, btab
+                    )
+                    Ix[p] = ixL.transpose(1, 2, 0).astype(np.int64)
+                    Iy[p] = iyL.transpose(1, 2, 0).astype(np.int64)
+                    Ik[p] = ikL.transpose(1, 2, 0).astype(np.int64)
+                    score[par] = score[par] + msgL.transpose(1, 2, 0)
+                    continue
                 msg0 = np.zeros((ny, nx, K))
                 ix0 = np.zeros((ny, nx, K), dtype=np.int64)
                 iy0 = np.zeros((ny, nx, K), dtype=np.int64)
@@ -237,7 +285,6 @@ def detect_reference(
                         ny,
                         step,
                     )
-                btab = model.biases[model.biasid[c][p]]  # (L, K)
                 msg = np.zeros((ny, nx, L))
                 ixp = np.zeros((ny, nx, L), dtype=np.int64)
                 iyp = np.zeros((ny, nx, L), dtype=np.int64)
