@@ -39,6 +39,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _use_pallas() -> bool:
@@ -68,12 +69,14 @@ def _dt1d(
     nvalid=None,
     use_pallas=None,
     differentiable: bool = False,
+    out_valid=None,
 ) -> tuple[jax.Array, jax.Array]:
     """1-D max-plus transform along the last axis.
 
     src: (..., N); a, b, shift broadcastable to src.shape[:-1]; nvalid
     (optional) is a per-row valid source count (a pure perf hint — the
-    region beyond it must already be -inf).
+    region beyond it must already be -inf). out_valid: see
+    shift_distance_transform_2d_packed (Pallas window path only).
     Returns (out (..., dlen), argmax int32 (..., dlen)).
     """
     if use_pallas is None:
@@ -84,6 +87,7 @@ def _dt1d(
         return dt1d_pallas(
             src, a, b, shift, dlen, step, nvalid=nvalid,
             interpret=_interpret(), differentiable=differentiable,
+            out_valid=out_valid,
         )
     n = src.shape[-1]
     dtype = src.dtype
@@ -110,6 +114,8 @@ def shift_distance_transform_2d_packed(
     valid_h=None,
     valid_w=None,
     differentiable: bool = False,
+    out_valid_h=None,
+    out_valid_w=None,
 ) -> tuple[jax.Array, jax.Array]:
     """2-D shifted/subsampled generalized DT with packed pointers.
 
@@ -119,6 +125,11 @@ def shift_distance_transform_2d_packed(
     shift_x / shift_y: broadcastable to score.shape[:-2], 0-based output
         grid origins (MATLAB startx/starty minus 1).
     valid_h / valid_w: optional per-batch valid extents (perf hint).
+    out_valid_h / out_valid_w: optional static consumer valid extents
+    (the parent grid's), broadcastable per-row; output positions beyond
+    them are don't-care — the adaptive window kernel returns (NEG, 0)
+    there and can stop scanning early. Downstream -inf masking makes
+    those positions semantically dead, so results are unchanged.
     differentiable=True attaches the max-subgradient custom VJP to the
     Pallas kernel (training differentiates straight through it).
     Returns (msg, ptr) with ptr = (Iy << 12) | Ix int32 — on the Pallas
@@ -137,6 +148,12 @@ def shift_distance_transform_2d_packed(
         v = jnp.asarray(v)
         return v if v.ndim == batch_ndim else v[..., None]
 
+    def _expand_np(v, batch_ndim):
+        if v is None:
+            return None
+        v = np.asarray(v)
+        return v if v.ndim == batch_ndim else v[..., None]
+
     # y pass over columns: (..., H, W) -> (..., W, H) -> dt -> (..., W, dlen_y)
     src_t = jnp.swapaxes(score, -1, -2)
     tmp, tmp_iy = _dt1d(
@@ -149,6 +166,7 @@ def shift_distance_transform_2d_packed(
         nvalid=_expand(valid_h, src_t.ndim - 1),
         use_pallas=use_pallas,
         differentiable=differentiable,
+        out_valid=_expand_np(out_valid_h, src_t.ndim - 1),
     )
     tmp = jnp.swapaxes(tmp, -1, -2)  # (..., dlen_y, W)
     tmp_iy = jnp.swapaxes(tmp_iy, -1, -2)
@@ -164,6 +182,7 @@ def shift_distance_transform_2d_packed(
         msg, ptr = dt1d_pallas(
             tmp, axk, bxk, sx, dlen_x, step, nvalid=nw, aux=tmp_iy,
             interpret=_interpret(), differentiable=differentiable,
+            out_valid=_expand_np(out_valid_w, tmp.ndim - 1),
         )
         return msg, ptr
     msg, ix = _dt1d(

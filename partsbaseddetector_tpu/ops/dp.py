@@ -103,7 +103,7 @@ def tree_min_sum(
 
     def _valid_counts(p: int, par: int, score: jax.Array, hr_par: int):
         if valid_extents is None:
-            return None, None
+            return None, None, None, None
         fid = np.asarray(comp.filterid[p])
         vh_b = valid_extents[0][bucket_of(int(ds[p]))]
         vw_b = valid_extents[1][bucket_of(int(ds[p]))]
@@ -124,34 +124,63 @@ def tree_min_sum(
             valid_extents[0][bucket_of(int(ds[par]))][:s][:, par_fid]
             .max(axis=1)
         )  # (S,)
+        vw_par = (
+            valid_extents[1][bucket_of(int(ds[par]))][:s][:, par_fid]
+            .max(axis=1)
+        )  # (S,)
         vwp = np.where(
             np.arange(hr_par)[None, None, :] < vh_par[:, None, None],
             vw_sm[:, :, None],
             0,
         ).astype(np.int32)  # (S, M, H_parent) for the x pass
-        return vhp, vwp
+        # consumer (parent-grid) extents: DT outputs beyond them are
+        # masked to -inf downstream, so the adaptive window kernel may
+        # treat them as don't-care and stop scanning early
+        ovy = np.where(
+            np.arange(w_child)[None, None, :] < vw_sm[:, :, None],
+            vh_par[:, None, None],
+            0,
+        ).astype(np.int32)  # (S, M, W_child): y-pass output extent
+        ovx = np.where(
+            np.arange(hr_par)[None, None, :] < vh_par[:, None, None],
+            vw_par[:, None, None],
+            0,
+        ).astype(np.int32)  # (S, M, H_parent): x-pass output extent
+        return vhp, vwp, ovy, ovx
 
-    def _combine(p: int, dt: jax.Array, ptr: jax.Array):
-        """Mixture combine per parent mixture l via an unrolled
-        first-max-wins where-chain: one fused elementwise kernel per l
-        producing (msg, pointers) together — no argmax reduction, no
-        take_along_axis gathers (detect_fast.m:134-141 semantics).
-        Pointers pack (Ik, Iy, Ix) into one int32 (12 bits/coordinate) —
-        one table per part instead of three."""
-        bias = jnp.asarray(bias_all[p], dtype)  # (L=M, K=M), -inf padded
-        packed = [(jnp.int32(k) << 24) | ptr[:, k] for k in range(m_total)]
+    def _combine_group(parts: List[int], dt: jax.Array, ptr: jax.Array):
+        """Mixture combine for a stacked level group, per parent mixture
+        l, via an unrolled first-max-wins where-chain over child
+        mixtures k: fused elementwise kernels over the whole (G, S, ...)
+        stack — no argmax reduction, no take_along_axis gathers
+        (detect_fast.m:134-141 semantics). Callers pass single-part
+        groups by default (see the call site for the measured reason);
+        G>1 stacking is kept for experimentation. Pointers
+        pack (Ik, Iy, Ix) into one int32 (12 bits/coordinate) — one
+        table per part instead of three.
+
+        dt/ptr: (G, S, M, Hp, Wp). Returns (msg, tbl): (G, S, L, Hp, Wp).
+        """
+        if tensors is not None:
+            bias_g = jnp.stack([bias_all[p] for p in parts]).astype(dtype)
+        else:
+            bias_g = jnp.asarray(
+                np.stack([bias_all[p] for p in parts]), dtype
+            )  # (G, L=M, K=M), -inf padded
+        b = bias_g[:, None, :, :, None, None]  # (G, 1, L, K, 1, 1)
+        packed = [(jnp.int32(k) << 24) | ptr[:, :, k] for k in range(m_total)]
         msg_l, ptr_l = [], []
         for l in range(m_total):
-            best = dt[:, 0] + bias[l, 0]
+            best = dt[:, :, 0] + b[:, :, l, 0]
             ptrb = packed[0]
             for k in range(1, m_total):
-                val = dt[:, k] + bias[l, k]
+                val = dt[:, :, k] + b[:, :, l, k]
                 pred = val > best
                 best = jnp.where(pred, val, best)
                 ptrb = jnp.where(pred, packed[k], ptrb)
             msg_l.append(best)
             ptr_l.append(ptrb)
-        return jnp.stack(msg_l, axis=1), jnp.stack(ptr_l, axis=1)
+        return jnp.stack(msg_l, axis=2), jnp.stack(ptr_l, axis=2)
 
     # group parts by tree depth: all parts of a level are independent,
     # so their distance transforms run as ONE batched kernel call per
@@ -179,15 +208,19 @@ def tree_min_sum(
         for (_, _, step), parts in groups.items():
             par_grids = [grid_of(int(comp.parentid[p])) for p in parts]
             hr_par, wr_par = par_grids[0]
-            scores, vhs_g, vws_g = [], [], []
+            scores, vhs_g, vws_g, ovy_g, ovx_g = [], [], [], [], []
             for p in parts:
                 sc = part_score(p)
                 if p in acc:
                     sc = sc + acc.pop(p)
                 scores.append(sc)
-                vhp, vwp = _valid_counts(p, int(comp.parentid[p]), sc, hr_par)
+                vhp, vwp, ovy, ovx = _valid_counts(
+                    p, int(comp.parentid[p]), sc, hr_par
+                )
                 vhs_g.append(vhp)
                 vws_g.append(vwp)
+                ovy_g.append(ovy)
+                ovx_g.append(ovx)
             g = len(parts)
             score_g = jnp.stack(scores, axis=0)  # (G, S, M, H, W)
             # params shaped (G, 1, M, ...) so they broadcast over the
@@ -208,6 +241,8 @@ def tree_min_sum(
             )
             vh_g = None if vhs_g[0] is None else np.stack(vhs_g)
             vw_g = None if vws_g[0] is None else np.stack(vws_g)
+            ovy_gs = None if ovy_g[0] is None else np.stack(ovy_g)
+            ovx_gs = None if ovx_g[0] is None else np.stack(ovx_g)
 
             dt_g, ptr_g = shift_distance_transform_2d_packed(
                 score_g,
@@ -220,13 +255,33 @@ def tree_min_sum(
                 valid_h=vh_g,
                 valid_w=vw_g,
                 differentiable=tensors is not None,
+                out_valid_h=ovy_gs,
+                out_valid_w=ovx_gs,
             )
 
-            for i, p in enumerate(parts):
-                msg, tbl = _combine(p, dt_g[i], ptr_g[i])
-                tables[p] = tbl
-                par = int(comp.parentid[p])
-                acc[par] = msg if par not in acc else acc[par] + msg
+            # per-part combine is the default: stacking the combine over
+            # the whole group materializes (G, S, L, Hp, Wp) message +
+            # table tensors that downstream per-part slices can't fuse
+            # away — measured +8.7 ms/img on v5e with tables live (A/B
+            # 2026-08-16); with tables dead the two compile identically.
+            import os as _os
+            if _os.environ.get("PBD_COMBINE_GROUP", "0") == "1":
+                msg_g, tbl_g = _combine_group(parts, dt_g, ptr_g)
+                for i, p in enumerate(parts):
+                    tables[p] = tbl_g[i]
+                    par = int(comp.parentid[p])
+                    msg = msg_g[i]
+                    acc[par] = msg if par not in acc else acc[par] + msg
+            else:
+                for i, p in enumerate(parts):
+                    msg, tbl = _combine_group(
+                        [p], dt_g[i : i + 1], ptr_g[i : i + 1]
+                    )
+                    tables[p] = tbl[0]
+                    par = int(comp.parentid[p])
+                    acc[par] = (
+                        msg[0] if par not in acc else acc[par] + msg[0]
+                    )
 
     root = part_score(0)
     if 0 in acc:

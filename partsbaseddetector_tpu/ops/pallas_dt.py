@@ -247,6 +247,203 @@ def _dt1d_pallas_2d(
     return out, ptr
 
 
+def _make_window_kernel(
+    *, dlen, dlenp, c0, smax, tb, has_aux
+):
+    """Adaptive-window DT kernel (v3): displacement-ordered scan with an
+    exact early-exit bound.
+
+    The quadratic spring cost makes far displacements unwinnable: once
+    every (valid) output lane's running best exceeds
+        max_src + max_{|d| > s} pen(d),
+    no remaining displacement can change the result, so the scan stops.
+    The bound is inflated by a small slack so fp32 rounding can only
+    delay the exit, never cause a miss — results stay bit-identical to
+    the full scan (verified by the property tests).
+
+    Layout: output positions on lanes; the source row is stored as an
+    anchor-aligned slab so that displacement d reads the contiguous
+    lane slice [c0 - d, c0 - d + dlenp) — one dynamic-start vector load
+    per displacement, identical for every row in the tile.
+
+    sh_ref carries the per-row anchor so pointers are emitted in source
+    coordinates: v = sh + i - d.
+    """
+
+    def kernel(*refs):
+        if has_aux:
+            (slab_ref, aslab_ref, a_ref, b_ref, sh_ref, ov_ref,
+             out_ref, ptr_ref) = refs
+        else:
+            (slab_ref, a_ref, b_ref, sh_ref, ov_ref,
+             out_ref, ptr_ref) = refs
+            aslab_ref = None
+        a = a_ref[:, :]  # (tb, 1)
+        b = b_ref[:, :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tb, dlenp), 1)
+        ovm = lane < ov_ref[:, :]  # valid-output mask
+        msrc = jnp.max(slab_ref[:, :], axis=1, keepdims=True)  # (tb, 1)
+
+        pen = lambda x: (a * x + b) * x
+        # concave vertex d* = -b/(2a); guard a >= 0 (never exit early)
+        neg_a = a < 0.0
+        dstar = jnp.where(neg_a, -b / (2.0 * jnp.where(neg_a, a, -1.0)), 0.0)
+        exitable = neg_a | ((a == 0.0) & (b == 0.0))
+
+        INITP = jnp.int32(0x7FFFFFFF)
+
+        wide = dlenp + LANE
+
+        def shifted(ref, d_int):
+            """ref lanes [c0 - d, c0 - d + dlenp): Mosaic only allows
+            128-aligned dynamic lane starts, so load one extra chunk at
+            the aligned base and lane-rotate by the remainder."""
+            offset = c0 - d_int
+            al = pl.multiple_of((offset // LANE) * LANE, LANE)
+            rem = offset - al
+            w = ref[:, pl.ds(al, wide)]
+            return pltpu.roll(w, (wide - rem) % wide, axis=1)[:, :dlenp]
+
+        def step_d(d_int, best, bptr):
+            d = d_int.astype(jnp.float32)
+            sval = shifted(slab_ref, d_int)
+            val = pen(d) + sval
+            v_vec = sh_ref[:, :] + lane - d_int
+            if has_aux:
+                aval = shifted(aslab_ref, d_int)
+                pval = (aval << 12) | v_vec
+                bv = bptr & 0xFFF
+            else:
+                pval = v_vec
+                bv = bptr
+            upd = (val > best) | ((val == best) & (v_vec < bv))
+            return jnp.where(upd, val, best), jnp.where(upd, pval, bptr)
+
+        def body(carry):
+            s, _, best, bptr = carry
+            best, bptr = step_d(s, best, bptr)
+            # s=0 runs d=0 twice; the second pass is an exact no-op
+            best, bptr = step_d(-s, best, bptr)
+            # exact exit bound over the remaining displacements |d| > s
+            sf = (s + 1).astype(jnp.float32)
+            pf = jnp.maximum(pen(sf), pen(-sf))
+            pf = jnp.where(
+                neg_a & (jnp.abs(dstar) > sf), jnp.maximum(pf, pen(dstar)), pf
+            )
+            slack = 1e-3 + 1e-3 * (jnp.abs(msrc) + jnp.abs(pf))
+            bound = msrc + pf + slack
+            bound = jnp.where(msrc == NEG, NEG, bound)
+            bound = jnp.where(exitable, bound, jnp.float32(np.inf))
+            stop = jnp.all((~ovm) | (best >= bound))
+            return s + 1, stop, best, bptr
+
+        init = (
+            jnp.int32(0),
+            jnp.bool_(False),
+            jnp.full((tb, dlenp), NEG, jnp.float32),
+            jnp.full((tb, dlenp), INITP, jnp.int32),
+        )
+        _, _, best, bptr = jax.lax.while_loop(
+            lambda c: (c[0] <= smax) & (~c[1]), body, init
+        )
+        best = jnp.where(ovm, best, NEG)
+        # pointer contract matches v2: rows/lanes with no winnable source
+        # (best still NEG) report pointer 0
+        bptr = jnp.where(ovm & (best != NEG), bptr, 0)
+        out_ref[:, :] = best
+        ptr_ref[:, :] = bptr
+
+    return kernel
+
+
+def _dt1d_pallas_window(
+    src, a, b, shifts: np.ndarray, out_valid, aux, dlen: int, tb: int,
+    interpret: bool, has_aux: bool,
+):
+    """Window-kernel driver for step == 1 with static per-row shifts.
+
+    shifts: static NumPy integer per-row anchors. Builds an
+    anchor-aligned NEG-padded slab (so every displacement is one
+    contiguous lane slice), then runs the adaptive kernel. out_valid:
+    static per-row count of output lanes that must be exact (None ->
+    all dlen); lanes beyond it return (NEG, 0).
+    """
+    bsz, n = src.shape
+    sh = np.asarray(shifts, np.int64).reshape(bsz)
+    jmin = int(-sh.max())
+    jmax = int(n - 1 - sh.min())
+    jlen = jmax - jmin + 1
+    dlenp = _round_up(max(dlen, LANE), LANE)
+    smax = int(max(jmax, dlen - 1 - jmin))
+    # symmetric layout: displacement d slices lanes [c0 - d, c0 - d + dlenp)
+    # with c0 = smax, so every |d| <= smax stays in bounds
+    c0 = smax
+    padl = smax + jmin  # >= 0 since smax >= dlen - 1 - jmin >= -jmin
+    # +LANE: the kernel loads one extra chunk at the aligned base
+    wp = _round_up(2 * smax + dlenp, LANE) + LANE
+
+    # aligned gather: slab[r, padl + (j - jmin)] = src[r, sh[r] + j]
+    idx = sh[:, None] + (jmin + np.arange(jlen))[None, :]  # static (bsz, jlen)
+    ok = (idx >= 0) & (idx < n)
+    idxc = np.clip(idx, 0, n - 1).astype(np.int32)
+
+    def aligned(x, fill, dtype):
+        g = jnp.take_along_axis(x.astype(dtype), jnp.asarray(idxc), axis=1)
+        g = jnp.where(jnp.asarray(ok), g, fill)
+        out = jnp.full((bsz, wp), fill, dtype)
+        return jax.lax.dynamic_update_slice(out, g, (0, padl))
+
+    slab = aligned(src, NEG, jnp.float32)
+    c0 = padl - jmin  # slice start for displacement 0
+
+    bp = _round_up(max(bsz, tb), tb)
+
+    def pad_rows(x2, fill):
+        if x2.shape[0] == bp:
+            return x2
+        return jnp.concatenate(
+            [x2, jnp.full((bp - bsz, x2.shape[1]), fill, x2.dtype)], axis=0
+        )
+
+    slab = pad_rows(slab, NEG)
+    col = lambda x, dtype: pad_rows(
+        jnp.asarray(x, dtype).reshape(bsz, 1), jnp.asarray(0, dtype)
+    )
+    a_p = col(a, jnp.float32)
+    b_p = col(b, jnp.float32)
+    sh_p = col(sh, jnp.int32)
+    if out_valid is None:
+        out_valid = jnp.full((bsz,), dlen, jnp.int32)
+    ov_p = col(jnp.minimum(jnp.asarray(out_valid, jnp.int32), dlen), jnp.int32)
+
+    row_spec = lambda w: pl.BlockSpec(
+        (tb, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    kernel = _make_window_kernel(
+        dlen=dlen, dlenp=dlenp, c0=c0, smax=smax, tb=tb, has_aux=has_aux
+    )
+    operands = [slab]
+    in_specs = [row_spec(wp)]
+    if has_aux:
+        operands.append(pad_rows(aligned(aux, 0, jnp.int32), 0))
+        in_specs.append(row_spec(wp))
+    operands += [a_p, b_p, sh_p, ov_p]
+    in_specs += [row_spec(1)] * 4
+
+    out, ptr = pl.pallas_call(
+        kernel,
+        grid=(bp // tb,),
+        in_specs=in_specs,
+        out_specs=[row_spec(dlenp), row_spec(dlenp)],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, dlenp), jnp.float32),
+            jax.ShapeDtypeStruct((bp, dlenp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*operands)
+    return out[:bsz, :dlen], ptr[:bsz, :dlen]
+
+
 def _default_tb() -> int:
     import os
 
@@ -295,6 +492,19 @@ def _diff_dt(dlen: int, step: int, tb: int, interpret: bool, has_aux: bool):
     return f
 
 
+def _use_window() -> bool:
+    """Opt-in (PBD_DT_WINDOW=1): the adaptive-window kernel is exact and
+    its early exit fires (verified), but on v5e the dynamic lane rotates
+    it needs (Mosaic requires 128-aligned dynamic lane starts, so every
+    displacement costs an extra-chunk load + pltpu.roll) plus the
+    serialized while-loop made it ~9x slower than the chunked kernel on
+    the person26 shapes (tools/dt_window_microbench.py). Kept as an
+    option for hardware where dynamic lane shifts are cheap."""
+    import os
+
+    return os.environ.get("PBD_DT_WINDOW", "0") == "1"
+
+
 def dt1d_pallas(
     src,
     a,
@@ -307,6 +517,7 @@ def dt1d_pallas(
     nvalid=None,
     aux=None,
     differentiable: bool = False,
+    out_valid=None,
 ):
     """Batched 1-D DT along the last axis via the Pallas kernel.
 
@@ -317,6 +528,10 @@ def dt1d_pallas(
     aux (optional, same shape as src, int32 < 2^12): per-source values
     carried through the max; the pointer output becomes packed
     (aux[argmax] << 12) | argmax — the fused Iy composition.
+    out_valid (optional, static NumPy, broadcastable to batch): per-row
+    count of output lanes that must be exact. Lanes beyond it return
+    (NEG, 0) instead of their true values — callers pass the consumer's
+    valid extent so the adaptive window kernel can stop early.
     Returns (out (..., dlen) f32, ptr (..., dlen) int32).
     """
     if tb is None:
@@ -330,6 +545,35 @@ def dt1d_pallas(
     full = lambda x: jnp.broadcast_to(jnp.asarray(x), batch_shape).reshape(bsz)
     has_aux = aux is not None
     aux2 = aux.reshape(bsz, n) if has_aux else src2[..., :0]
+
+    if (
+        step == 1
+        and not differentiable
+        and _choose_pack(dlen) == 1
+        and _use_window()
+    ):
+        try:
+            sh_np = np.asarray(shift)
+        except Exception:
+            sh_np = None  # traced shift: fall back to the chunked kernel
+        if sh_np is not None and np.all(sh_np == np.round(sh_np)):
+            sh_full = np.broadcast_to(
+                sh_np.astype(np.int64), batch_shape
+            ).reshape(bsz)
+            ov = None
+            if out_valid is not None:
+                ov = np.broadcast_to(
+                    np.asarray(out_valid, np.int32), batch_shape
+                ).reshape(bsz)
+            out, ptr = _dt1d_pallas_window(
+                src2, full(a), full(b), sh_full, ov, aux2, dlen, tb,
+                interpret, has_aux,
+            )
+            return (
+                out.reshape(*batch_shape, dlen),
+                ptr.reshape(*batch_shape, dlen),
+            )
+
     if differentiable:
         fn = _diff_dt(dlen, step, tb, interpret, has_aux)
         out, ptr = fn(

@@ -33,7 +33,7 @@ import numpy as np
 from ..utils.rounding import cround
 
 from ..models.model import ModelSpec
-from .hog import hog_features
+from .hog import hog_features, hog_finalize_batched, hog_histogram
 from .resize import reduce_image, resize_image
 
 
@@ -167,11 +167,41 @@ def _pad_feature(
     )
 
 
-def build_pyramid_features(
+def _pad_feature_batched(
+    feats: jax.Array,
+    infos: List[ScaleInfo],
+    spec: ModelSpec,
+    bucket: BucketInfo,
+) -> jax.Array:
+    """Batched _pad_feature: (S, ohm, owm, 32) per-scale-valid features
+    (exact zeros beyond each scale's extent) -> (S, H_b, W_b, 32) with
+    each scale's occlusion border written at its own frame positions."""
+    py, px = spec.pady + 1, spec.padx + 1
+    s_n = feats.shape[0]
+    f = jnp.pad(
+        feats,
+        (
+            (0, 0),
+            (py, bucket.feat_h - feats.shape[1] - py),
+            (px, bucket.feat_w - feats.shape[2] - px),
+            (0, 0),
+        ),
+    )
+    row = jnp.arange(bucket.feat_h)[None, :, None]
+    col = jnp.arange(bucket.feat_w)[None, None, :]
+    ph = jnp.asarray([i.pad_h for i in infos])[:, None, None]
+    pw = jnp.asarray([i.pad_w for i in infos])[:, None, None]
+    inframe = (row < ph) & (col < pw)
+    border = inframe & (
+        (row < py) | (row >= ph - py) | (col < px) | (col >= pw - px)
+    )
+    occ = jnp.where(border, jnp.asarray(1, f.dtype), f[..., -1])
+    return jnp.concatenate([f[..., :-1], occ[..., None]], axis=-1)
+
+
+def _scale_images(
     im: jax.Array, plan: PyramidPlan, spec: ModelSpec
 ) -> List[jax.Array]:
-    """Compute HOG features for every scale and return one padded
-    (S_b, H_b, W_b, flen) stack per bucket. im: (H, W, 3) float."""
     sc = 2.0 ** (1.0 / spec.interval)
     images: List[jax.Array] = [None] * plan.nscales
     for i in range(min(spec.interval, plan.nscales)):
@@ -182,9 +212,70 @@ def build_pyramid_features(
             scaled = reduce_image(scaled)
             images[j] = scaled
             j += spec.interval
+    return images
 
+
+def build_pyramid_features_hybrid(
+    im: jax.Array, plan: PyramidPlan, spec: ModelSpec
+) -> List[jax.Array]:
+    """Hybrid per-scale/batched pyramid (EXPERIMENT — not the default).
+
+    Pixel-grid stages (resample, gradients, orientation binning) stay
+    per-scale — they fuse into the strided tent matmuls — while
+    everything after the cell histograms runs as ONE batched program
+    across all scales (hog_finalize_batched + _pad_feature_batched).
+    Motivation was the per-scale tail looking dispatch-bound in
+    isolated microbenches; the full-program A/B says otherwise: on v5e
+    person-VGA this is STRICTLY SLOWER than the per-scale builder
+    (hog-only 27.2 vs 22.8 ms, hog+conv+DP 45.6 vs 37.7 ms — measured
+    2026-08-16) because XLA fuses the per-scale tail into the
+    histogram matmul epilogues for free, while the batched variant
+    pays stack/pad materialization of every histogram and feature
+    stack through HBM. Kept (with its parity tests) as the
+    measured-and-rejected record and for HLO-size experiments."""
+    images = _scale_images(im, plan, spec)
+
+    hists = [
+        hog_histogram(images[s], spec.sbin) for s in range(plan.nscales)
+    ]
+    sizes = tuple(h.shape[:2] for h in hists)
+    bh_m = max(h for h, _ in sizes)
+    bw_m = max(w for _, w in sizes)
+    stack = jnp.stack(
+        [
+            jnp.pad(
+                h,
+                ((0, bh_m - h.shape[0]), (0, bw_m - h.shape[1]), (0, 0)),
+            )
+            for h in hists
+        ]
+    )
+    feats_all = hog_finalize_batched(stack, sizes)  # (S, oh_m, ow_m, 32)
+
+    out: List[jax.Array] = []
+    for bucket in plan.buckets:
+        infos = [plan.scales[s] for s in bucket.scale_indices]
+        ohm = max(i.feat_h for i in infos)
+        owm = max(i.feat_w for i in infos)
+        idxs = np.asarray(bucket.scale_indices)
+        stack_b = feats_all[idxs, :ohm, :owm]
+        out.append(_pad_feature_batched(stack_b, infos, spec, bucket))
+    return out
+
+
+def build_pyramid_features(
+    im: jax.Array, plan: PyramidPlan, spec: ModelSpec
+) -> List[jax.Array]:
+    """Compute HOG features for every scale and return one padded
+    (S_b, H_b, W_b, flen) stack per bucket. im: (H, W, 3) float.
+
+    Per-scale HOG, then one stacked pad per bucket: each scale's
+    normalize/clamp tail fuses into its histogram-matmul epilogue, so
+    nothing round-trips HBM between stages. Beats the fully batched
+    hybrid (build_pyramid_features_hybrid) by ~8 ms/img on v5e — see
+    its docstring for the A/B."""
+    images = _scale_images(im, plan, spec)
     feats = [hog_features(images[s], spec.sbin) for s in range(plan.nscales)]
-
     out: List[jax.Array] = []
     for bucket in plan.buckets:
         stack = [

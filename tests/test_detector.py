@@ -252,3 +252,28 @@ def test_detect_half_octave_buckets():
     for a, b in zip(base, half):
         assert abs(a.score - b.score) < 1e-5
         np.testing.assert_allclose(a.parts, b.parts, atol=1e-4)
+
+
+def test_detect_pallas_interpret_window_path(monkeypatch):
+    """e2e through the ADAPTIVE WINDOW DT kernel (grids > 64 cells take
+    the windowed path; the bucket-padded lanes exercise out_valid
+    don't-care masking)."""
+    monkeypatch.setenv("PBD_DT_IMPL", "interpret")
+    monkeypatch.setenv("PBD_DT_WINDOW", "1")
+    model = make_synthetic_model(
+        nparts=3, nmix=2, fsize=(3, 3), sbin=4, interval=2, thresh=1.0,
+        seed=73
+    )
+    rng = np.random.RandomState(2)
+    im = (rng.rand(310, 290, 3) * 255).astype(np.float32)
+    want = detect_reference(im, model, thresh=-1e9)
+    model.thresh = sorted((d["score"] for d in want), reverse=True)[
+        min(8, len(want)) - 1
+    ] - 1e-6
+    want = [d for d in want if d["score"] >= model.thresh]
+    det = PartsBasedDetector(model, max_detections=32)
+    got = det.detect(im)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert abs(g.score - w["score"]) < 2e-3
+        np.testing.assert_allclose(g.parts, w["boxes"], atol=5e-2)

@@ -99,3 +99,77 @@ def test_pallas_dt_custom_vjp_matches_xla_grads():
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(src, a, b)
     for p_, x_ in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(p_), np.asarray(x_), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("dlen,n", [(128, 100), (80, 150), (200, 200)])
+def test_window_kernel_per_row_shifts(dlen, n, monkeypatch):
+    monkeypatch.setenv("PBD_DT_WINDOW", "1")
+    """Adaptive-window path (pack=1, step=1): per-row shifts, -inf
+    bucket padding, exact value+pointer parity vs the envelope scan."""
+    rng = np.random.RandomState(3)
+    bsz = 7
+    src = (rng.randn(bsz, n) * 2).astype(np.float32)
+    # simulate bucket padding: some rows valid only to a prefix
+    vw = np.array([n, n, 60, 60, 25, n, 5])
+    for i in range(bsz):
+        src[i, vw[i]:] = -np.inf
+    a = -(0.01 + 0.04 * rng.rand(bsz)).astype(np.float32)
+    b = (0.02 * rng.randn(bsz)).astype(np.float32)
+    shifts = rng.randint(-6, 7, size=bsz).astype(np.float32)
+    out, ptr = dt1d_pallas(src, a, b, shifts, dlen, 1, interpret=True)
+    out, ptr = np.asarray(out), np.asarray(ptr)
+    for i in range(bsz):
+        want_v, want_p = reference.dt1d_envelope(
+            src[i].astype(np.float64), float(a[i]), float(b[i]),
+            int(shifts[i]), dlen, 1
+        )
+        finite = np.isfinite(want_v)
+        np.testing.assert_allclose(
+            out[i][finite], want_v[finite], rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_array_equal(ptr[i][finite], want_p[finite])
+
+
+def test_window_kernel_out_valid_masks_dont_care_lanes(monkeypatch):
+    monkeypatch.setenv("PBD_DT_WINDOW", "1")
+    rng = np.random.RandomState(4)
+    bsz, n, dlen = 4, 120, 120
+    src = (rng.randn(bsz, n) * 2).astype(np.float32)
+    a = np.full(bsz, -0.02, np.float32)
+    b = np.zeros(bsz, np.float32)
+    sh = np.zeros(bsz, np.float32)
+    ov = np.array([120, 80, 40, 0], np.int32)
+    out, ptr = dt1d_pallas(
+        src, a, b, sh, dlen, 1, interpret=True, out_valid=ov
+    )
+    full_out, full_ptr = dt1d_pallas(src, a, b, sh, dlen, 1, interpret=True)
+    out, ptr = np.asarray(out), np.asarray(ptr)
+    for i in range(bsz):
+        k = ov[i]
+        np.testing.assert_array_equal(out[i, :k], np.asarray(full_out)[i, :k])
+        np.testing.assert_array_equal(ptr[i, :k], np.asarray(full_ptr)[i, :k])
+        assert np.all(out[i, k:] < -1e37) and np.all(ptr[i, k:] == 0)
+
+
+def test_window_kernel_aux_packing(monkeypatch):
+    monkeypatch.setenv("PBD_DT_WINDOW", "1")
+    rng = np.random.RandomState(5)
+    bsz, n, dlen = 3, 90, 100
+    src = (rng.randn(bsz, n) * 2).astype(np.float32)
+    aux = rng.randint(0, 4095, size=(bsz, n)).astype(np.int32)
+    a = -(0.01 + 0.03 * rng.rand(bsz)).astype(np.float32)
+    b = (0.02 * rng.randn(bsz)).astype(np.float32)
+    sh = np.full(bsz, -2.0, np.float32)
+    import jax.numpy as jnp
+
+    out, ptr = dt1d_pallas(
+        src, a, b, sh, dlen, 1, interpret=True, aux=jnp.asarray(aux)
+    )
+    out, ptr = np.asarray(out), np.asarray(ptr)
+    for i in range(bsz):
+        want_v, want_p = reference.dt1d_envelope(
+            src[i].astype(np.float64), float(a[i]), float(b[i]), -2, dlen, 1
+        )
+        np.testing.assert_allclose(out[i], want_v, rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(ptr[i] & 0xFFF, want_p)
+        np.testing.assert_array_equal(ptr[i] >> 12, aux[i][want_p])
