@@ -59,6 +59,21 @@ def _interpret() -> bool:
     return os.environ.get("PBD_DT_IMPL") == "interpret"
 
 
+def _use_sublane_ypass(w: int) -> bool:
+    """The sublane-scan y-pass kernel runs the DT in the natural
+    (..., H, W) layout (W on lanes) — no transposes, fewer VPU ops per
+    source sample. Worth it when lane utilization is decent; narrow
+    deep-pyramid buckets (W < 64) stay on the row-packed lane-chunked
+    kernel, whose packing fights exactly that waste. Override with
+    PBD_DT_YPASS=sublane|chunked."""
+    mode = os.environ.get("PBD_DT_YPASS", "auto")
+    if mode == "sublane":
+        return True
+    if mode == "chunked":
+        return False
+    return w >= 64
+
+
 def _dt1d(
     src: jax.Array,
     a: jax.Array,
@@ -154,22 +169,48 @@ def shift_distance_transform_2d_packed(
         v = np.asarray(v)
         return v if v.ndim == batch_ndim else v[..., None]
 
-    # y pass over columns: (..., H, W) -> (..., W, H) -> dt -> (..., W, dlen_y)
-    src_t = jnp.swapaxes(score, -1, -2)
-    tmp, tmp_iy = _dt1d(
-        src_t,
-        ay[..., None],
-        by[..., None],
-        jnp.asarray(shift_y)[..., None],
-        dlen_y,
-        step,
-        nvalid=_expand(valid_h, src_t.ndim - 1),
-        use_pallas=use_pallas,
-        differentiable=differentiable,
-        out_valid=_expand_np(out_valid_h, src_t.ndim - 1),
-    )
-    tmp = jnp.swapaxes(tmp, -1, -2)  # (..., dlen_y, W)
-    tmp_iy = jnp.swapaxes(tmp_iy, -1, -2)
+    # y pass over columns
+    if (
+        use_pallas
+        and not differentiable
+        and not _interpret()
+        and _use_sublane_ypass(score.shape[-1])
+    ):
+        # sublane-scan kernel: DT along axis -2 in place — no transposes
+        from .pallas_dt import dt1d_sublane
+
+        if valid_h is None:
+            nv_map = None
+        else:
+            vh = valid_h
+            # per-lane counts (..., W) -> per-map max; scalars pass through
+            if hasattr(vh, "ndim") and np.ndim(vh) == score.ndim - 1:
+                vh = (
+                    np.max(vh, axis=-1)
+                    if isinstance(vh, np.ndarray)
+                    else jnp.max(jnp.asarray(vh), axis=-1)
+                )
+            nv_map = vh
+        tmp, tmp_iy = dt1d_sublane(
+            score, ay, by, shift_y, dlen_y, step, nvalid=nv_map
+        )
+    else:
+        # transpose layout: (..., H, W) -> (..., W, H) -> dt -> transpose back
+        src_t = jnp.swapaxes(score, -1, -2)
+        tmp, tmp_iy = _dt1d(
+            src_t,
+            ay[..., None],
+            by[..., None],
+            jnp.asarray(shift_y)[..., None],
+            dlen_y,
+            step,
+            nvalid=_expand(valid_h, src_t.ndim - 1),
+            use_pallas=use_pallas,
+            differentiable=differentiable,
+            out_valid=_expand_np(out_valid_h, src_t.ndim - 1),
+        )
+        tmp = jnp.swapaxes(tmp, -1, -2)  # (..., dlen_y, W)
+        tmp_iy = jnp.swapaxes(tmp_iy, -1, -2)
 
     # x pass over rows of the intermediate, carrying tmp_iy as aux
     sx = jnp.asarray(shift_x)[..., None]

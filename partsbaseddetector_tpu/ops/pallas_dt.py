@@ -51,6 +51,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _use_affine() -> bool:
+    """Opt-in (PBD_DT_AFFINE=1): chunk-centered affine decomposition in
+    the pack==1 chunked kernel (see _make_kernel). Measured and
+    REJECTED on v5e: 3x SLOWER than the direct form (45.8 vs 148.7
+    Gsample/s on the big x-pass shape, tools/dt_xpass_microbench.py) —
+    the per-sample (tb, 1) column arithmetic + explicit lane broadcast
+    costs more than the full-tile FMAs it saves (Mosaic folds the
+    direct form's extracted-lane operand into the adds for free)."""
+    import os
+
+    return os.environ.get("PBD_DT_AFFINE", "0") == "1"
+
+
 def _make_kernel(
     *, nchunks, ntail, spc, pack, dlenp, step, tb, has_aux
 ):
@@ -60,8 +73,24 @@ def _make_kernel(
     the last chunk (1..spc); spc = LANE // pack sources per chunk per
     subrow; dlenp: output lane width (pack * (dlenp // pack) outputs);
     a/b/shift/nvalid arrive as (tb, dlenp) per-lane vectors.
+
+    pack == 1 uses an affine decomposition of the quadratic around the
+    chunk midpoint m (with qm = q - m, jm = j - spc/2, d = qm - jm):
+        val = a d^2 + b d + s_v
+            = [a qm^2 + b qm] + jm * [-(2 a qm + b)] + [a jm^2 + s_v]
+    The bracketed per-output terms Q2m and Lm are computed once per
+    chunk; per source sample only c_j = a jm^2 + s_v (a thin (tb, 1)
+    column) plus one broadcast-add and one scalar-FMA touch the full
+    tile — ~5 full-tile VPU ops per sample instead of ~8. Centering at
+    the chunk midpoint bounds the intermediates near winning
+    displacements (|jm| < spc/2), so the rearrangement's fp error on
+    any max candidate stays ~1e-4 · penalty-at-distance. With row
+    packing the per-lane a/b make c_j full-width, so the direct form
+    is kept.
     """
     sub = dlenp // pack  # outputs per subrow
+    affine = pack == 1 and _use_affine()
+    half = spc / 2.0
 
     def make_extract():
         """Lane-masked source broadcast assembly: (tb, LANE) chunk ->
@@ -89,7 +118,7 @@ def _make_kernel(
             (src_ref, a_ref, b_ref, shift_ref, nvalid_ref,
              out_ref, ptr_ref) = refs
             aux_ref = None
-        a = a_ref[:, :]  # (tb, dlenp)
+        a = a_ref[:, :]  # (tb, dlenp) — or (tb, 1) in affine mode
         b = b_ref[:, :]
         pos = jax.lax.broadcasted_iota(jnp.int32, (tb, dlenp), 1) % sub
         q = shift_ref[:, :] + step * pos.astype(jnp.float32)
@@ -99,7 +128,15 @@ def _make_kernel(
             chunk = src_ref[:, pl.ds(c * LANE, LANE)]
             if has_aux:
                 achunk = aux_ref[:, pl.ds(c * LANE, LANE)]
-            qc = q - jnp.asarray(c * spc, jnp.float32)  # c may be traced
+            cf = (c * spc).astype(jnp.float32) if hasattr(c, "aval") \
+                else jnp.float32(c * spc)
+            if affine:
+                qm = q - (cf + jnp.float32(half))  # chunk-centered
+                t = a * qm
+                q2m = (t + b) * qm  # (tb, dlenp), once per chunk
+                lm = -(t + t + b)
+            else:
+                qc = q - cf  # c may be traced
 
             # static unroll with ILP accumulators: j mod NACC goes to
             # its own independent select chain, breaking the
@@ -108,8 +145,13 @@ def _make_kernel(
                 lane = j % NACC
                 best, bestv = acc[lane]
                 sval = extract(chunk, j)
-                d = qc - jnp.float32(j)
-                val = (a * d + b) * d + sval
+                if affine:
+                    jm = jnp.float32(j - half)
+                    cj = a * (jm * jm) + sval  # (tb, 1)
+                    val = (q2m + cj) + jm * lm
+                else:
+                    d = qc - jnp.float32(j)
+                    val = (a * d + b) * d + sval
                 pred = val > best
                 if has_aux:
                     pval = (extract(achunk, j) << 12) | (c * spc + j)
@@ -203,8 +245,11 @@ def _dt1d_pallas_2d(
     src_p = pack_slab(src, NEG, jnp.float32)
 
     # per-lane param vectors: subrow s of vector-row r owns lane range
-    # [s*sub, (s+1)*sub) and carries original row r*pack + s's params
+    # [s*sub, (s+1)*sub) and carries original row r*pack + s's params.
+    # pack == 1 (affine kernel): thin (bp, 1) columns instead.
     def lane_vec(x, fill, dtype):
+        if pack == 1 and _use_affine():
+            return pad_rows(x, fill, dtype).reshape(bp, 1)
         v = pad_rows(x, fill, dtype).reshape(bp, pack, 1)
         return jnp.broadcast_to(v, (bp, pack, sub)).reshape(bp, dlenp)
 
@@ -231,7 +276,9 @@ def _dt1d_pallas_2d(
         operands.append(aux_p)
         in_specs.append(row_spec(nchunks * LANE))
     operands += [a_p, b_p, s_p, n_p]
-    in_specs += [row_spec(dlenp)] * 4
+    in_specs += [
+        row_spec(1 if (pack == 1 and _use_affine()) else dlenp)
+    ] * 4
 
     out, ptr = pl.pallas_call(
         kernel,
@@ -442,6 +489,168 @@ def _dt1d_pallas_window(
         interpret=interpret,
     )(*operands)
     return out[:bsz, :dlen], ptr[:bsz, :dlen]
+
+
+def _make_sublane_kernel(*, h, dlen, w, ts, step, nacc):
+    """DT scan along the SUBLANE axis (axis -2): per source row v the
+    update is `pen(q - v) + src[v, :]` — a (ts, 1) penalty column
+    sublane-broadcast against the (1, w) source row. No transposes, no
+    lane extraction, and the full-tile op count per source sample drops
+    to ~4 (broadcast-add, compare, two selects); the penalty polynomial
+    runs on a single-lane column. Source rows stream in 8-sublane
+    chunks with a dynamic live bound (chunks past the map's valid
+    height are pure -inf padding) plus a static tail.
+
+    The output is tiled into ts-sublane strips (second grid axis) so
+    the ILP accumulator pairs stay within the VREG budget — carrying
+    full (dlen, w) accumulators through the source loop spills.
+    """
+    sub = 8  # f32 sublane granularity
+    nfull = h // sub
+    ntail = h - nfull * sub
+
+    def kernel(a_ref, b_ref, sh_ref, nv_ref, src_ref, out_ref, ptr_ref):
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+        a = a_ref[bi]
+        b = b_ref[bi]
+        i = ti * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, 1), 0)
+        q = sh_ref[bi] + jnp.float32(step) * i.astype(jnp.float32)
+
+        def row_update(carry_entry, vf, v_int, srow):
+            best, bestv = carry_entry
+            d = q - vf  # (ts, 1)
+            pen = (a * d + b) * d
+            val = pen + srow  # (ts, w) sublane-broadcast add
+            pred = val > best
+            return (
+                jnp.where(pred, val, best),
+                jnp.where(pred, v_int, bestv),
+            )
+
+        def chunk_body(c, carry):
+            acc = list(carry)
+            base = pl.multiple_of(c * sub, sub)
+            chunk = src_ref[0, pl.ds(base, sub), :]  # (8, w)
+            cf = (c * sub).astype(jnp.float32)
+            for j in range(sub):
+                acc[j % nacc] = row_update(
+                    acc[j % nacc], cf + jnp.float32(j),
+                    c * sub + j, chunk[j : j + 1, :],
+                )
+            return tuple(acc)
+
+        init = tuple(
+            (
+                jnp.full((ts, w), NEG, jnp.float32),
+                jnp.zeros((ts, w), jnp.int32),
+            )
+            for _ in range(nacc)
+        )
+        if nfull > 0:
+            live = pl.cdiv(nv_ref[pl.program_id(0)], sub)
+            acc = list(
+                jax.lax.fori_loop(
+                    0, jnp.minimum(live, nfull), chunk_body, init
+                )
+            )
+        else:
+            acc = list(init)
+        for j in range(ntail):  # static tail rows
+            v = nfull * sub + j
+            acc[j % nacc] = row_update(
+                acc[j % nacc], jnp.float32(v), v,
+                src_ref[0, v : v + 1, :],
+            )
+        best, bestv = acc[0]
+        for best2, bestv2 in acc[1:]:
+            # exact first-max merge: ties go to the smaller source index
+            pred = (best2 > best) | ((best2 == best) & (bestv2 < bestv))
+            best = jnp.where(pred, best2, best)
+            bestv = jnp.where(pred, bestv2, bestv)
+        out_ref[0, :, :] = best
+        ptr_ref[0, :, :] = bestv
+
+    return kernel
+
+
+def _sublane_ts() -> int:
+    import os
+
+    return int(os.environ.get("PBD_DT_TS", "16"))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dlen", "step", "interpret")
+)
+def _dt1d_sublane_call(src, a, b, shift, nvalid, dlen: int, step: int,
+                       interpret: bool):
+    bsz, h, w = src.shape
+    a_p = jnp.asarray(a, jnp.float32).reshape(bsz)
+    b_p = jnp.asarray(b, jnp.float32).reshape(bsz)
+    sh_p = jnp.asarray(shift, jnp.float32).reshape(bsz)
+    nv_p = jnp.asarray(nvalid, jnp.int32).reshape(bsz)
+    scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ts = min(_sublane_ts(), _round_up(dlen, 8))
+    nqt = -(-dlen // ts)
+    kernel = _make_sublane_kernel(
+        h=h, dlen=dlen, w=w, ts=ts, step=step, nacc=NACC
+    )
+    out, ptr = pl.pallas_call(
+        kernel,
+        grid=(bsz, nqt),
+        in_specs=[scalar_spec] * 4
+        + [
+            pl.BlockSpec(
+                (1, h, w), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, ts, w), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, dlen, w), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, dlen, w), jnp.int32),
+        ],
+        interpret=interpret,
+    )(a_p, b_p, sh_p, nv_p, src.astype(jnp.float32))
+    return out, ptr
+
+
+def dt1d_sublane(
+    src,
+    a,
+    b,
+    shift,
+    dlen: int,
+    step: int = 1,
+    nvalid=None,
+    interpret: bool = False,
+):
+    """Batched 1-D DT along axis -2 (the sublane axis) — the y pass in
+    the natural (..., H, W) layout, so the 2-D composition needs zero
+    transposes. src: (..., H, W); a/b/shift broadcastable to
+    src.shape[:-2]; nvalid: per-map valid source-row count (rows beyond
+    must be -inf). Returns (out (..., dlen, W), ptr int32 same shape).
+    """
+    batch_shape = src.shape[:-2]
+    h, w = src.shape[-2], src.shape[-1]
+    bsz = int(np.prod(batch_shape)) if batch_shape else 1
+    src3 = src.reshape(bsz, h, w)
+    full = lambda x: jnp.broadcast_to(jnp.asarray(x), batch_shape).reshape(bsz)
+    if nvalid is None:
+        nvalid = h
+    out, ptr = _dt1d_sublane_call(
+        src3, full(a), full(b), full(shift), full(nvalid), dlen, step,
+        interpret,
+    )
+    return (
+        out.reshape(*batch_shape, dlen, w),
+        ptr.reshape(*batch_shape, dlen, w),
+    )
 
 
 def _default_tb() -> int:

@@ -173,3 +173,83 @@ def test_window_kernel_aux_packing(monkeypatch):
         np.testing.assert_allclose(out[i], want_v, rtol=1e-4, atol=1e-4)
         np.testing.assert_array_equal(ptr[i] & 0xFFF, want_p)
         np.testing.assert_array_equal(ptr[i] >> 12, aux[i][want_p])
+
+
+@pytest.mark.parametrize("h,w,dlen,step,shift", [
+    (50, 70, 50, 1, 0),
+    (130, 96, 130, 1, -3),
+    (23, 160, 40, 1, 5),
+    (40, 64, 20, 2, 1),
+    (7, 100, 12, 1, 0),
+])
+def test_sublane_dt_matches_envelope(h, w, dlen, step, shift):
+    """Sublane-scan y-pass kernel: exact value+pointer parity with the
+    envelope reference along axis -2."""
+    from partsbaseddetector_tpu.ops.pallas_dt import dt1d_sublane
+
+    rng = np.random.RandomState(0)
+    bsz = 3
+    src = (rng.randn(bsz, h, w) * 2).astype(np.float32)
+    a = -(0.01 + 0.04 * rng.rand(bsz)).astype(np.float32)
+    b = (0.02 * rng.randn(bsz)).astype(np.float32)
+    shifts = np.full(bsz, shift, dtype=np.float32)
+    out, ptr = dt1d_sublane(src, a, b, shifts, dlen, step, interpret=True)
+    out, ptr = np.asarray(out), np.asarray(ptr)
+    assert out.shape == (bsz, dlen, w) and ptr.shape == (bsz, dlen, w)
+    for i in range(bsz):
+        for x in range(w):
+            want_v, want_p = reference.dt1d_envelope(
+                src[i, :, x].astype(np.float64), float(a[i]), float(b[i]),
+                shift, dlen, step
+            )
+            np.testing.assert_allclose(
+                out[i, :, x], want_v, rtol=1e-4, atol=1e-4
+            )
+            np.testing.assert_array_equal(ptr[i, :, x], want_p)
+
+
+def test_sublane_dt_neg_inf_and_nvalid():
+    from partsbaseddetector_tpu.ops.pallas_dt import dt1d_sublane
+
+    rng = np.random.RandomState(2)
+    bsz, h, w = 4, 60, 80
+    src = (rng.randn(bsz, h, w) * 2).astype(np.float32)
+    nv = np.array([60, 40, 17, 1], np.int32)
+    for i in range(bsz):
+        src[i, nv[i]:, :] = -np.inf
+    a = np.full(bsz, -0.02, np.float32)
+    b = np.full(bsz, 0.01, np.float32)
+    sh = np.full(bsz, -2.0, np.float32)
+    out, ptr = dt1d_sublane(
+        src, a, b, sh, 60, 1, nvalid=nv, interpret=True
+    )
+    out, ptr = np.asarray(out), np.asarray(ptr)
+    for i in range(bsz):
+        for x in range(0, w, 7):
+            want_v, want_p = reference.dt1d_envelope(
+                src[i, :, x].astype(np.float64), float(a[i]), float(b[i]),
+                -2, 60, 1
+            )
+            np.testing.assert_allclose(
+                out[i, :, x], want_v, rtol=1e-4, atol=1e-4
+            )
+            np.testing.assert_array_equal(ptr[i, :, x], want_p)
+
+
+def test_sublane_dt_batch_shapes():
+    from partsbaseddetector_tpu.ops.pallas_dt import dt1d_sublane
+
+    rng = np.random.RandomState(3)
+    src = rng.randn(2, 3, 19, 65).astype(np.float32)
+    a = np.full((2, 3), -0.05, np.float32)
+    b = np.zeros((2, 3), np.float32)
+    s = np.zeros((2, 3), np.float32)
+    out, ptr = dt1d_sublane(src, a, b, s, 19, 1, interpret=True)
+    assert out.shape == (2, 3, 19, 65) and ptr.shape == (2, 3, 19, 65)
+    want, wptr = reference.dt1d_envelope(
+        src[1, 2, :, 33].astype(np.float64), -0.05, 0.0, 0, 19, 1
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[1, 2, :, 33]), want, rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(ptr[1, 2, :, 33]), wptr)

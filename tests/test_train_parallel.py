@@ -232,3 +232,33 @@ def test_fit_driver_with_checkpoint(tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
     assert history2 == []  # already complete
+
+
+def test_distributed_helpers_single_process():
+    """Multi-host wiring degrades to the single-process path: no
+    coordinator configured -> initialize is a no-op, the global mesh
+    spans the 8 virtual devices, and the per-host batch assembly
+    round-trips a P('dp') sharded array."""
+    from partsbaseddetector_tpu.parallel.distributed import (
+        distributed_batched_detect_fn,
+        host_local_batch_to_global,
+        initialize_distributed,
+        make_global_mesh,
+    )
+
+    assert initialize_distributed() is False  # no coordinator env
+    mesh = make_global_mesh(tp=2)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+
+    model = _tiny_model()
+    det = PartsBasedDetector(model, max_detections=8)
+    run, mesh2 = distributed_batched_detect_fn(det, (64, 64), tp=1)
+    assert mesh2.shape["dp"] == len(jax.devices())
+    rng = np.random.RandomState(0)
+    batch = (rng.rand(8, 64, 64, 3) * 255).astype(np.float32)
+    out = run(batch)
+    boxes = np.asarray(out[0])
+    assert boxes.shape[0] == 8
+
+    g = host_local_batch_to_global(mesh, np.zeros((8, 4), np.float32))
+    assert g.shape == (8, 4) and g.sharding.spec == ("dp",)
