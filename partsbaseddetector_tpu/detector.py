@@ -108,14 +108,18 @@ class PartsBasedDetector:
 
         im = validate_image(im, min_side=5 * self._packed.spec.sbin)
         fn = self._get_fn(im.shape[:2])
-        boxes, scores, comps, valid, mixtures = fn(jnp.asarray(im, self.dtype))
+        out = fn(jnp.asarray(im, self.dtype))
+        # one pipelined device->host gather (device_get starts every
+        # leaf's copy before waiting) instead of five serial reads —
+        # on a tunneled backend each serial read pays a full RTT
+        boxes, scores, comps, valid, mixtures = jax.device_get(out)
         return DetectionResult(
-            boxes=np.asarray(boxes),
-            scores=np.asarray(scores),
-            components=np.asarray(comps),
-            valid=np.asarray(valid),
+            boxes=boxes,
+            scores=scores,
+            components=comps,
+            valid=valid,
             nparts_by_component=[c.nparts for c in self._packed.components],
-            mixtures=np.asarray(mixtures),
+            mixtures=mixtures,
         )
 
     def detect_batch(self, images) -> List[List[Candidate]]:

@@ -109,3 +109,61 @@ def validate_image(im: np.ndarray, min_side: Optional[int] = None) -> np.ndarray
             f"image side {min(im.shape[:2])} below minimum {min_side}"
         )
     return im
+
+
+def device_op_breakdown(fn, *args, iters: int = 5, tmpdir: str = "/tmp/pbd_optrace"):
+    """Trace `fn(*args)` and attribute device time by op family.
+
+    Returns {family: ms_per_iter} from the XLA device timeline —
+    in-program numbers, unlike wall-clock timing of prefix programs,
+    which on a tunneled backend mostly measures dispatch RTT. Async
+    copy windows overlap compute, so families need not sum to the
+    program wall time. Returns {} when profiling is unavailable.
+    """
+    import collections
+    import glob
+    import os
+    import shutil
+
+    import jax
+
+    try:
+        out = fn(*args)
+        jax.block_until_ready(out)
+        _ = np.asarray(jax.tree.leaves(out)[0])
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        jax.profiler.start_trace(tmpdir)
+        for _ in range(iters):
+            out = fn(*args)
+        _ = np.asarray(jax.tree.leaves(out)[0])
+        jax.profiler.stop_trace()
+        from jax.profiler import ProfileData
+
+        paths = glob.glob(os.path.join(tmpdir, "**/*.xplane.pb"), recursive=True)
+        if not paths:
+            return {}
+        pd = ProfileData.from_file(paths[0])
+        tot = collections.Counter()
+        for plane in pd.planes:
+            if "TPU" not in plane.name and "/device" not in plane.name.lower():
+                continue
+            for line in plane.lines:
+                for ev in line.events:
+                    name = ev.name
+                    if name.startswith("jit_"):
+                        tot["program_total"] += ev.duration_ns
+                        continue
+                    if "_dt1d" in name or "sublane" in name:
+                        fam = "dt_kernels"
+                    elif "convolution" in name:
+                        fam = "conv"
+                    elif "copy" in name or "slice-start" in name:
+                        fam = "async_copies_overlapped"
+                    elif "fusion" in name or "dot" in name:
+                        fam = "fused_elementwise_hog_dp"
+                    else:
+                        fam = "other"
+                    tot[fam] += ev.duration_ns
+        return {k: round(v / 1e6 / iters, 2) for k, v in tot.most_common()}
+    except Exception:
+        return {}

@@ -63,9 +63,6 @@ bench("conv HIGH", partial(conv, filt=filt, prec=HI))
 bench("conv DEFAULT", partial(conv, filt=filt, prec=D))
 bench("im2row+dot HIGHEST", partial(im2row_dot, filt=filt, prec=H))
 
-filt128 = jnp.concatenate([filt, jnp.zeros((128 - F % 128, FH, FW, C), jnp.float32)])
-bench("conv HIGHEST F=128pad", partial(conv, filt=filt128, prec=H))
-bench("im2row+dot HIGHEST F=128", partial(im2row_dot, filt=filt128, prec=H))
 
 bf = [f.astype(jnp.bfloat16) for f in feats]
 filtbf = filt.astype(jnp.bfloat16)
@@ -86,7 +83,7 @@ feats = feats_save
 
 # accuracy check: HIGH and im2row vs HIGHEST
 o_high = [jax.jit(partial(conv, filt=filt, prec=HI))(f) for f in feats]
-o_i2r = [jax.jit(partial(im2row_dot, filt=filt, prec=H))(f) for f in feats]
-for name, outs in [("HIGH", o_high), ("im2row", o_i2r)]:
+o_def = [jax.jit(partial(conv, filt=filt, prec=D))(f) for f in feats]
+for name, outs in [("HIGH", o_high), ("DEFAULT", o_def)]:
     err = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(outs, ref))
     print(f"max|{name} - HIGHEST| = {err:.2e}")
