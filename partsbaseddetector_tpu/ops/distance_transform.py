@@ -85,6 +85,7 @@ def _dt1d(
     use_pallas=None,
     differentiable: bool = False,
     out_valid=None,
+    cond_tail: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """1-D max-plus transform along the last axis.
 
@@ -102,7 +103,7 @@ def _dt1d(
         return dt1d_pallas(
             src, a, b, shift, dlen, step, nvalid=nvalid,
             interpret=_interpret(), differentiable=differentiable,
-            out_valid=out_valid,
+            out_valid=out_valid, cond_tail=cond_tail,
         )
     n = src.shape[-1]
     dtype = src.dtype
@@ -131,6 +132,7 @@ def shift_distance_transform_2d_packed(
     differentiable: bool = False,
     out_valid_h=None,
     out_valid_w=None,
+    dead_heavy: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """2-D shifted/subsampled generalized DT with packed pointers.
 
@@ -208,6 +210,7 @@ def shift_distance_transform_2d_packed(
             use_pallas=use_pallas,
             differentiable=differentiable,
             out_valid=_expand_np(out_valid_h, src_t.ndim - 1),
+            cond_tail=dead_heavy,
         )
         tmp = jnp.swapaxes(tmp, -1, -2)  # (..., dlen_y, W)
         tmp_iy = jnp.swapaxes(tmp_iy, -1, -2)
@@ -224,6 +227,7 @@ def shift_distance_transform_2d_packed(
             tmp, axk, bxk, sx, dlen_x, step, nvalid=nw, aux=tmp_iy,
             interpret=_interpret(), differentiable=differentiable,
             out_valid=_expand_np(out_valid_w, tmp.ndim - 1),
+            cond_tail=dead_heavy,
         )
         return msg, ptr
     msg, ix = _dt1d(

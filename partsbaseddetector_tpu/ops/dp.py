@@ -40,6 +40,191 @@ from .distance_transform import shift_distance_transform_2d_packed
 NEG_INF = -jnp.inf
 
 
+def _scan_schedule() -> str:
+    """PBD_DP_SCHEDULE=scan|unrolled (default unrolled).
+
+    `scan` folds the leveled part schedule into one lax.scan body per
+    (bucket, component): every level shares ONE pair of DT kernel
+    compilations (the TPU backend dedupes identical Mosaic payloads,
+    measured in tools/ probes) and the DP subgraph shrinks
+    ~#levels-fold. Measured on person26-VGA/v5e: cold build 172 s ->
+    ~90-120 s, steady-state 41.3 -> ~54 ms/img — the scan body's
+    glue (level-padded slots, score-slab slices, scatter-add
+    accumulation, stacked pointer tables) costs ~30% runtime, so the
+    unrolled schedule stays the serving default and `scan` is the
+    fast-iteration profile (model development, CI, frequently-changing
+    image sizes). Falls back to unrolled automatically for anything
+    it can't express (octave-offset parts, traced params,
+    single-part trees)."""
+    import os
+
+    return os.environ.get("PBD_DP_SCHEDULE", "unrolled")
+
+
+def _tree_min_sum_scan(
+    resp: jax.Array,
+    comp: PackedComponent,
+    valid_extents=None,
+) -> Tuple[jax.Array, jax.Array, Dict[int, jax.Array]]:
+    """Scan-scheduled min-sum for the homogeneous case (all parts on
+    the root's grid, step 1, baked constants).
+
+    Levels are padded to a common width G_max and processed by one
+    lax.scan body: part scores come from a hoisted one-hot MXU
+    contraction (exact, deterministic), child messages accumulate into
+    a (P+1)-row buffer via one scatter-add per level (sibling add
+    order may differ from the unrolled schedule's left-associated adds
+    by last-ulp only), and one batched 2-D DT runs per level — same
+    shapes every level, so each bucket compiles ONE Mosaic kernel
+    pair. Dead slots carry -inf bias and zero valid counts: they can
+    win nothing and the DT kernel skips their rows and tails
+    (dead_heavy=True).
+    """
+    s, hr, wr, n_filters = resp.shape
+    dtype = resp.dtype
+    p_total, m_total = comp.filterid.shape
+    defw_all, bias_all, root_bias = comp.tensors()
+
+    depth = np.zeros(p_total, dtype=np.int64)
+    for p in range(1, p_total):
+        depth[p] = depth[int(comp.parentid[p])] + 1
+    levels: Dict[int, List[int]] = {}
+    for p in range(1, p_total):
+        levels.setdefault(int(depth[p]), []).append(p)
+    order = sorted(levels, reverse=True)  # deepest first
+    nlev = len(order)
+    gmax = max(len(levels[d]) for d in order)
+
+    # host-side stacked schedule; dead slots -> dummy part index p_total
+    pid = np.full((nlev, gmax), p_total, np.int32)
+    par = np.full((nlev, gmax), p_total, np.int32)
+    fid = np.zeros((nlev, gmax, m_total), np.int32)
+    defw_s = np.zeros((nlev, gmax, m_total, 4), np.float32)
+    sx_s = np.zeros((nlev, gmax, m_total), np.float32)
+    sy_s = np.zeros((nlev, gmax, m_total), np.float32)
+    bias_s = np.full((nlev, gmax, m_total, m_total), -np.inf, np.float32)
+    vhp_s = np.zeros((nlev, gmax, s, m_total, wr), np.int32)
+    vwp_s = np.zeros((nlev, gmax, s, m_total, hr), np.int32)
+    for li, d in enumerate(order):
+        for g, p in enumerate(levels[d]):
+            pid[li, g] = p
+            par[li, g] = int(comp.parentid[p])
+            fid[li, g] = comp.filterid[p]
+            defw_s[li, g] = defw_all[p]
+            sx_s[li, g] = comp.shift_x[p]
+            sy_s[li, g] = comp.shift_y[p]
+            bias_s[li, g] = bias_all[p]
+            if valid_extents is not None:
+                f = np.asarray(comp.filterid[p])
+                vh_sm = valid_extents[0][:s][:, f]  # (S, M) child extents
+                vw_sm = valid_extents[1][:s][:, f]
+                # x-pass rows live on the PARENT grid: a row is live up
+                # to the parent's valid height (positions beyond it are
+                # -inf in the parent's own response downstream)
+                pf = np.asarray(comp.filterid[int(comp.parentid[p])])
+                vh_par = valid_extents[0][:s][:, pf].max(axis=1)  # (S,)
+                vhp_s[li, g] = np.where(
+                    np.arange(wr)[None, None, :] < vw_sm[:, :, None],
+                    vh_sm[:, :, None], 0,
+                )
+                vwp_s[li, g] = np.where(
+                    np.arange(hr)[None, None, :] < vh_par[:, None, None],
+                    vw_sm[:, :, None], 0,
+                )
+            else:
+                vhp_s[li, g] = hr
+                vwp_s[li, g] = wr
+
+    # one-hot filter gather for ALL levels at once, hoisted out of the
+    # scan body: (S, H, W, F) @ (F, L*G*M) on the MXU — exact (one unit
+    # weight per output column) and deterministic. -inf response
+    # padding would turn into NaN under the 0-weight products, so it
+    # is sanitized to finite float-min first: those positions stay
+    # unwinnable in every downstream max, and pointers in fully-dead
+    # regions are unreachable from any valid candidate (a finite
+    # message implies a finite winning source).
+    negf = jnp.asarray(jnp.finfo(dtype).min, dtype)  # finite in dtype
+    resp_g = jnp.where(jnp.isfinite(resp), resp, negf)
+    onehot = (
+        jnp.asarray(fid).reshape(-1)[None, :]
+        == jnp.arange(n_filters, dtype=jnp.int32)[:, None]
+    ).astype(dtype)  # (F, L*G*M)
+    sc_all = jnp.einsum(
+        "shwf,fg->shwg", resp_g, onehot,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(s, hr, wr, nlev, gmax, m_total)
+    sc_all = jnp.moveaxis(
+        sc_all, (3, 4, 5), (0, 1, 3)
+    )  # (L, G, S, M, H, W) — sliced per level by the scan
+
+    acc0 = jnp.zeros((p_total + 1, s, m_total, hr, wr), dtype)
+
+    def body(acc, xs):
+        sc_l, pid_l, par_l, defw_l, sx_l, sy_l, bias_l, vhp_l, vwp_l = xs
+        sc = sc_l + acc[pid_l]
+        dt_g, ptr_g = shift_distance_transform_2d_packed(
+            sc,
+            defw_l[:, None],  # (G, 1, M, 4)
+            sx_l[:, None],
+            sy_l[:, None],
+            dlen_x=wr,
+            dlen_y=hr,
+            step=1,
+            valid_h=vhp_l,
+            valid_w=vwp_l,
+            dead_heavy=True,  # padded level slots skip their DT tails
+        )
+        msgs, tbls = [], []
+        for g in range(gmax):  # per-slot combine, unrolled-order exact
+            dt, ptr = dt_g[g], ptr_g[g]
+            b = bias_l[g]  # (L, K)
+            packed = [(jnp.int32(k) << 24) | ptr[:, k] for k in range(m_total)]
+            msg_l, ptr_l = [], []
+            for l in range(m_total):
+                best = dt[:, 0] + b[l, 0]
+                ptrb = packed[0]
+                for k in range(1, m_total):
+                    val = dt[:, k] + b[l, k]
+                    pred = val > best
+                    best = jnp.where(pred, val, best)
+                    ptrb = jnp.where(pred, packed[k], ptrb)
+                msg_l.append(best)
+                ptr_l.append(ptrb)
+            msgs.append(jnp.stack(msg_l, axis=1))  # (S, L, H, W)
+            tbls.append(jnp.stack(ptr_l, axis=1))
+        # parent accumulation: one scatter-add over the slot axis.
+        # Duplicate parents (sibling slots) accumulate; XLA's scatter
+        # add order over the 8 slots may differ from the unrolled
+        # schedule's left-associated order by last-ulp only.
+        msg_stack = jnp.stack(msgs)  # (G, S, L, H, W)
+        acc = acc.at[par_l].add(msg_stack)
+        return acc, jnp.stack(tbls)  # (G, S, L, H, W)
+
+    xs = (
+        sc_all, jnp.asarray(pid), jnp.asarray(par),
+        jnp.asarray(defw_s, dtype), jnp.asarray(sx_s), jnp.asarray(sy_s),
+        jnp.asarray(bias_s, dtype), jnp.asarray(vhp_s), jnp.asarray(vwp_s),
+    )
+    acc, tbl_stack = jax.lax.scan(body, acc0, xs)
+
+    tables: Dict[int, jax.Array] = {}
+    for li, d in enumerate(order):
+        for g, p in enumerate(levels[d]):
+            tables[p] = tbl_stack[li, g]
+
+    root_idx = np.asarray(comp.filterid[0])  # static gather
+    root = jnp.moveaxis(resp[..., root_idx], -1, 1)  # (S, M, H, W)
+    root = root + acc[0]
+    root = root + jnp.asarray(root_bias, dtype)[None, :, None, None]
+    rootv = root[:, 0]
+    rooti = jnp.zeros(rootv.shape, jnp.int32)
+    for m in range(1, m_total):
+        pred = root[:, m] > rootv
+        rootv = jnp.where(pred, root[:, m], rootv)
+        rooti = jnp.where(pred, m, rooti)
+    return rootv, rooti, tables
+
+
 def tree_min_sum(
     resps,
     comp: PackedComponent,
@@ -88,6 +273,27 @@ def tree_min_sum(
         assert r.shape[1] < 4096 and r.shape[2] < 4096, (
             "packed pointers use 12 bits/coordinate"
         )
+
+    # scan schedule: homogeneous trees (all parts on the root grid,
+    # baked constants) fold the level loop into one lax.scan — one DT
+    # kernel pair per bucket instead of one per level (see
+    # _tree_min_sum_scan). Heterogeneous cases keep the unrolled path.
+    sched = _scan_schedule()
+    homogeneous = (
+        tensors is None
+        and p_total > 1
+        and (ds == 0).all()
+        and (np.asarray(comp.step) == 1).all()
+    )
+    if homogeneous and sched == "scan":
+        ve = None
+        if valid_extents is not None:
+            ve = (
+                valid_extents[0][bucket_of(0)],
+                valid_extents[1][bucket_of(0)],
+            )
+        return _tree_min_sum_scan(root_resp, comp, valid_extents=ve)
+
     defw_all, bias_all, root_bias = (
         tensors if tensors is not None else comp.tensors()
     )

@@ -65,7 +65,7 @@ def _use_affine() -> bool:
 
 
 def _make_kernel(
-    *, nchunks, ntail, spc, pack, dlenp, step, tb, has_aux
+    *, nchunks, ntail, spc, pack, dlenp, step, tb, has_aux, cond_tail
 ):
     """Build the DT kernel body.
 
@@ -174,7 +174,8 @@ def _make_kernel(
         )
         # dynamic trip count: full chunks past this tile's longest valid
         # source row are pure NEG padding and can never win the max
-        live = pl.cdiv(jnp.max(nvalid_ref[:, :]), spc)
+        nv_max = jnp.max(nvalid_ref[:, :])
+        live = pl.cdiv(nv_max, spc)
         nfull = nchunks - 1
         acc = jax.lax.fori_loop(
             0,
@@ -183,8 +184,20 @@ def _make_kernel(
             init,
         )
         # peeled tail chunk: only the ntail real samples are unrolled
-        # (sources beyond n never existed; no wasted lane iterations)
-        acc = chunk_body(nfull, acc, ntail)
+        # (sources beyond n never existed; no wasted lane iterations).
+        # cond_tail (scan-schedule batches, which pad levels with dead
+        # slots) skips it when no valid source reaches it; the branch
+        # costs ~2 ms/img on mostly-live batches, so the default path
+        # keeps the unconditional tail.
+        if cond_tail:
+            acc = jax.lax.cond(
+                nv_max > nfull * spc,
+                lambda carry: chunk_body(nfull, carry, ntail),
+                lambda carry: carry,
+                acc,
+            )
+        else:
+            acc = chunk_body(nfull, acc, ntail)
 
         best, bestv = acc[0]
         vkey = (bestv & 0xFFF) if has_aux else bestv
@@ -212,11 +225,14 @@ def _choose_pack(dlen: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dlen", "step", "tb", "interpret", "has_aux")
+    jax.jit,
+    static_argnames=(
+        "dlen", "step", "tb", "interpret", "has_aux", "cond_tail"
+    ),
 )
 def _dt1d_pallas_2d(
     src, a, b, shift, nvalid, aux, dlen: int, step: int, tb: int,
-    interpret: bool, has_aux: bool,
+    interpret: bool, has_aux: bool, cond_tail: bool = False,
 ):
     bsz, n = src.shape
     pack = _choose_pack(dlen)
@@ -267,7 +283,7 @@ def _dt1d_pallas_2d(
     ]
     kernel = _make_kernel(
         nchunks=nchunks, ntail=ntail, spc=spc, pack=pack, dlenp=dlenp,
-        step=step, tb=tb, has_aux=has_aux,
+        step=step, tb=tb, has_aux=has_aux, cond_tail=cond_tail,
     )
     operands = [src_p]
     in_specs = [row_spec(nchunks * LANE)]
@@ -727,6 +743,7 @@ def dt1d_pallas(
     aux=None,
     differentiable: bool = False,
     out_valid=None,
+    cond_tail: bool = False,
 ):
     """Batched 1-D DT along the last axis via the Pallas kernel.
 
@@ -796,6 +813,6 @@ def dt1d_pallas(
     else:
         out, ptr = _dt1d_pallas_2d(
             src2, full(a), full(b), full(shift), full(nvalid), aux2,
-            dlen, step, tb, interpret, has_aux,
+            dlen, step, tb, interpret, has_aux, cond_tail,
         )
     return out.reshape(*batch_shape, dlen), ptr.reshape(*batch_shape, dlen)

@@ -277,3 +277,68 @@ def test_detect_pallas_interpret_window_path(monkeypatch):
     for g, w in zip(got, want):
         assert abs(g.score - w["score"]) < 2e-3
         np.testing.assert_allclose(g.parts, w["boxes"], atol=5e-2)
+
+
+def test_scan_schedule_matches_unrolled(monkeypatch):
+    """PBD_DP_SCHEDULE=scan (the fast-compile profile) must reproduce
+    the unrolled schedule's detections on the golden fixture."""
+    model, g = None, None
+    import numpy as np
+
+    fx = np.load("tests/fixtures/golden_detections.npz")
+    from partsbaseddetector_tpu import load_model
+
+    model = load_model("tests/fixtures/golden_model.npz")
+    monkeypatch.setenv("PBD_DP_SCHEDULE", "scan")
+    det = PartsBasedDetector(model, max_detections=64)
+    got = det.detect(fx["image"])
+    assert len(got) == len(fx["scores"])
+    np.testing.assert_allclose(
+        [c.score for c in got], fx["scores"], rtol=0, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.stack([np.asarray(c.parts) for c in got]), fx["boxes"], atol=5e-2
+    )
+
+
+def test_scan_schedule_dp_bit_identical():
+    """Raw DP outputs (root scores, pointers, tables) of the scan and
+    unrolled schedules on identical responses."""
+    import os
+
+    import jax.numpy as jnp
+
+    from partsbaseddetector_tpu.models.model import pack_model
+    from partsbaseddetector_tpu.ops import dp
+
+    model = make_synthetic_model(
+        nparts=5, nmix=2, fsize=(3, 3), sbin=8, interval=2, thresh=0.0,
+        seed=11,
+    )
+    packed = pack_model(model)
+    comp = packed.components[0]
+    rng = np.random.RandomState(0)
+    resp = rng.randn(2, 13, 15, packed.filters.shape[0]).astype(np.float32)
+    resp[:, 11:, :, :3] = -np.inf  # masked region
+    resp = jnp.asarray(resp)
+    old = os.environ.get("PBD_DP_SCHEDULE")
+    try:
+        os.environ["PBD_DP_SCHEDULE"] = "unrolled"
+        rv_u, ri_u, tb_u = dp.tree_min_sum(resp, comp)
+        os.environ["PBD_DP_SCHEDULE"] = "scan"
+        rv_s, ri_s, tb_s = dp.tree_min_sum(resp, comp)
+    finally:
+        if old is None:
+            os.environ.pop("PBD_DP_SCHEDULE", None)
+        else:
+            os.environ["PBD_DP_SCHEDULE"] = old
+    rv_u, rv_s = np.asarray(rv_u), np.asarray(rv_s)
+    finite = np.isfinite(rv_u)
+    # scan sanitizes -inf padding to float-min; finite scores match to
+    # ulp and the finite/dead partition is identical
+    assert np.array_equal(finite, np.asarray(rv_s) > -1e37)
+    np.testing.assert_allclose(rv_u[finite], rv_s[finite], rtol=1e-6)
+    assert np.array_equal(np.asarray(ri_u)[finite], np.asarray(ri_s)[finite])
+    for p in tb_u:
+        a, b = np.asarray(tb_u[p]), np.asarray(tb_s[p])
+        assert a.shape == b.shape
