@@ -766,6 +766,12 @@ def dt1d_pallas(
     n = src.shape[-1]
     if nvalid is None:
         nvalid = n
+
+    # NOTE a lane-remainder split (dlen=166 -> full-width 128-lane call
+    # + row-packed 38-lane call, concatenated) was measured and
+    # REJECTED: 5.9 vs 3.7 ms on the big x-pass shape — the packed
+    # remainder call's per-sample select overhead plus slab repacking
+    # outweighs the ~25% lane-sample saving (git history, r2).
     bsz = int(np.prod(batch_shape)) if batch_shape else 1
     src2 = src.reshape(bsz, n)
     full = lambda x: jnp.broadcast_to(jnp.asarray(x), batch_shape).reshape(bsz)

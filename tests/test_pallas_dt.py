@@ -253,3 +253,31 @@ def test_sublane_dt_batch_shapes():
         np.asarray(out[1, 2, :, 33]), want, rtol=1e-4, atol=1e-4
     )
     np.testing.assert_array_equal(np.asarray(ptr[1, 2, :, 33]), wptr)
+
+
+@pytest.mark.parametrize("n,dlen,shift", [(166, 166, 0), (140, 150, -4), (200, 190, 3)])
+def test_dlen_past_lane_multiple_matches_envelope(n, dlen, shift):
+    """dlen just past a 128 multiple (the 65%-lane-utilization shapes):
+    values and pointers must match the envelope exactly, incl. aux
+    composition and -inf padded rows."""
+    rng = np.random.RandomState(7)
+    bsz = 6
+    src = (rng.randn(bsz, n) * 2).astype(np.float32)
+    src[2, 100:] = -np.inf
+    aux = rng.randint(0, 4000, (bsz, n)).astype(np.int32)
+    a = -(0.01 + 0.04 * rng.rand(bsz)).astype(np.float32)
+    b = (0.02 * rng.randn(bsz)).astype(np.float32)
+    sh = np.full(bsz, shift, np.float32)
+    out, ptr = dt1d_pallas(src, a, b, sh, dlen, 1, interpret=True, aux=aux)
+    out, ptr = np.asarray(out), np.asarray(ptr)
+    assert out.shape == (bsz, dlen)
+    for i in range(bsz):
+        want_v, want_p = reference.dt1d_envelope(
+            src[i].astype(np.float64), float(a[i]), float(b[i]), shift, dlen, 1
+        )
+        fin = np.isfinite(want_v)
+        np.testing.assert_allclose(out[i][fin], want_v[fin], rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(ptr[i][fin] & 0xFFF, want_p[fin])
+        np.testing.assert_array_equal(
+            (ptr[i] >> 12)[fin], aux[i][want_p[fin]]
+        )
