@@ -59,6 +59,52 @@ def _interpret() -> bool:
     return os.environ.get("PBD_DT_IMPL") == "interpret"
 
 
+def _use_sublane_xpass(dlen_x: int, dlen_y: int, n: int) -> bool:
+    """Pick the x-pass kernel by a static per-shape cost model.
+
+    The x pass scans along W. The lane-chunked kernel does it in place
+    (outputs on lanes) at ~6(+pack extracts) full-tile VPU ops per
+    source sample on a dlenp-lane-padded tile; the sublane kernel needs
+    the map transposed (W on sublanes) but runs at ~4.5 ops/sample —
+    the penalty polynomial lives on a (ts, 1) column instead of the
+    full tile — with only 128-lane padding on dlen_y. Both are exact
+    (same op order, same tie rules), so the choice is pure cost:
+
+      lane:    (dlen_y / pack) * dlenp * n * (6 + (pack-1))
+      sublane: ceil(dlen_x/ts)*ts * round_up(dlen_y, 128) * n * 4.0
+
+    Constants calibrated on v5e (tools/dt_xpass_sublane_microbench.py:
+    big 160x126x166 lane 4.00 ms vs sublane 2.60; mid 106x91x119 1.84
+    vs 1.66; small 80x47x61 1.17 vs 1.20 — model picks the measured
+    winner on all three). Override with PBD_DT_XPASS=sublane|chunked.
+    """
+    mode = os.environ.get("PBD_DT_XPASS", "auto")
+    if mode == "sublane":
+        return True
+    if mode == "chunked":
+        return False
+    from .pallas_dt import LANE, _choose_pack, _round_up, _sublane_ts
+
+    pack = _choose_pack(dlen_x)
+    dlenp = LANE if pack > 1 else _round_up(max(dlen_x, LANE), LANE)
+    cost_lane = (dlen_y / pack) * dlenp * n * (6.0 + (pack - 1))
+    ts = _sublane_ts()
+    outp = -(-dlen_x // ts) * ts
+    cost_sub = outp * _round_up(dlen_y, LANE) * n * 4.0
+    return cost_lane > cost_sub
+
+
+def _subwin() -> bool:
+    """Exact displacement-window pruning in the sublane kernels
+    (PBD_DT_SUBWIN=1|0): sources provably unable to win — beyond the
+    radius where the quadratic deformation cost exceeds the map's live
+    value range — are skipped chunk-wise. Dynamic 8-aligned sublane
+    starts make this cheap, unlike the lane-axis window (9x slower,
+    see _use_window). Exact incl. ties; costs one max/min reduction
+    per map."""
+    return os.environ.get("PBD_DT_SUBWIN", "1") == "1"
+
+
 def _use_sublane_ypass(w: int) -> bool:
     """The sublane-scan y-pass kernel runs the DT in the natural
     (..., H, W) layout (W on lanes) — no transposes, fewer VPU ops per
@@ -194,7 +240,8 @@ def shift_distance_transform_2d_packed(
                 )
             nv_map = vh
         tmp, tmp_iy = dt1d_sublane(
-            score, ay, by, shift_y, dlen_y, step, nvalid=nv_map
+            score, ay, by, shift_y, dlen_y, step, nvalid=nv_map,
+            window=_subwin(),
         )
     else:
         # transpose layout: (..., H, W) -> (..., W, H) -> dt -> transpose back
@@ -216,6 +263,41 @@ def shift_distance_transform_2d_packed(
         tmp_iy = jnp.swapaxes(tmp_iy, -1, -2)
 
     # x pass over rows of the intermediate, carrying tmp_iy as aux
+    if (
+        use_pallas
+        and not differentiable
+        and not dead_heavy
+        and _use_sublane_xpass(dlen_x, dlen_y, tmp.shape[-1])
+    ):
+        # transposed sublane scan: W on sublanes, dlen_y on lanes; the
+        # fused (Iy << 12) | Ix composition rides the aux stream
+        from .pallas_dt import dt1d_sublane
+
+        if valid_w is None:
+            nv_map = None
+        else:
+            vw = valid_w
+            if hasattr(vw, "ndim") and np.ndim(vw) == score.ndim - 1:
+                vw = (
+                    np.max(vw, axis=-1)
+                    if isinstance(vw, np.ndarray)
+                    else jnp.max(jnp.asarray(vw), axis=-1)
+                )
+            nv_map = vw
+        msg_t, ptr_t = dt1d_sublane(
+            jnp.swapaxes(tmp, -1, -2),
+            ax,
+            bx,
+            shift_x,
+            dlen_x,
+            step,
+            nvalid=nv_map,
+            aux=jnp.swapaxes(tmp_iy, -1, -2),
+            interpret=_interpret(),
+            window=_subwin(),
+        )
+        return jnp.swapaxes(msg_t, -1, -2), jnp.swapaxes(ptr_t, -1, -2)
+
     sx = jnp.asarray(shift_x)[..., None]
     bxk = bx[..., None]
     axk = ax[..., None]

@@ -507,7 +507,8 @@ def _dt1d_pallas_window(
     return out[:bsz, :dlen], ptr[:bsz, :dlen]
 
 
-def _make_sublane_kernel(*, h, dlen, w, ts, step, nacc):
+def _make_sublane_kernel(*, h, dlen, w, ts, step, nacc, has_aux=False,
+                         window=False):
     """DT scan along the SUBLANE axis (axis -2): per source row v the
     update is `pen(q - v) + src[v, :]` — a (ts, 1) penalty column
     sublane-broadcast against the (1, w) source row. No transposes, no
@@ -517,15 +518,47 @@ def _make_sublane_kernel(*, h, dlen, w, ts, step, nacc):
     chunks with a dynamic live bound (chunks past the map's valid
     height are pure -inf padding) plus a static tail.
 
-    The output is tiled into ts-sublane strips (second grid axis) so
-    the ILP accumulator pairs stay within the VREG budget — carrying
-    full (dlen, w) accumulators through the source loop spills.
+    has_aux: per-source int32 rows (< 2^12) carried through the max —
+    the pointer output becomes (aux[argmax, :] << 12) | argmax, the
+    fused Iy composition the x-pass needs (same contract as the
+    lane-chunked kernel's aux).
+
+    window: exact displacement-window pruning along sublanes. Sources
+    more than W_t from this tile's output range cannot win: a source at
+    distance d scores at most pen(d) + max_src, while the in-window
+    candidate v_near = clip(q, 0, nv-1) guarantees
+    best >= pen(q - v_near) + src[v_near] >= pen(+-delta) + min_src, so
+    any d with w2 d^2 - |w1| d > R + (w2 delta + |w1|) delta loses
+    STRICTLY (R = max_src - min_src over live values arrives per map in
+    SMEM; slack inflates the bound so fp rounding can only widen the
+    window, never drop a winner — ties included, since excluded sources
+    are strictly below the max). The chunk loop then runs only
+    [c_lo, c_hi) — dynamic 8-aligned sublane starts are cheap on TPU,
+    exactly the trick that is impossible along lanes (128-aligned
+    starts). Dead (NEG/-inf) sources can never win nor serve as
+    v_near, so they are excluded from R by the caller.
     """
     sub = 8  # f32 sublane granularity
     nfull = h // sub
     ntail = h - nfull * sub
 
-    def kernel(a_ref, b_ref, sh_ref, nv_ref, src_ref, out_ref, ptr_ref):
+    def kernel(*refs):
+        if window and has_aux:
+            (a_ref, b_ref, sh_ref, nv_ref, rng_ref, src_ref, aux_ref,
+             out_ref, ptr_ref) = refs
+        elif window:
+            (a_ref, b_ref, sh_ref, nv_ref, rng_ref, src_ref,
+             out_ref, ptr_ref) = refs
+            aux_ref = None
+        elif has_aux:
+            (a_ref, b_ref, sh_ref, nv_ref, src_ref, aux_ref,
+             out_ref, ptr_ref) = refs
+            rng_ref = None
+        else:
+            (a_ref, b_ref, sh_ref, nv_ref, src_ref,
+             out_ref, ptr_ref) = refs
+            aux_ref = None
+            rng_ref = None
         bi = pl.program_id(0)
         ti = pl.program_id(1)
         a = a_ref[bi]
@@ -533,43 +566,72 @@ def _make_sublane_kernel(*, h, dlen, w, ts, step, nacc):
         i = ti * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, 1), 0)
         q = sh_ref[bi] + jnp.float32(step) * i.astype(jnp.float32)
 
-        def row_update(carry_entry, vf, v_int, srow):
+        def row_update(carry_entry, vf, v_int, srow, arow):
             best, bestv = carry_entry
             d = q - vf  # (ts, 1)
             pen = (a * d + b) * d
             val = pen + srow  # (ts, w) sublane-broadcast add
             pred = val > best
+            pval = ((arow << 12) | v_int) if has_aux else v_int
             return (
                 jnp.where(pred, val, best),
-                jnp.where(pred, v_int, bestv),
+                jnp.where(pred, pval, bestv),
             )
 
         def chunk_body(c, carry):
             acc = list(carry)
             base = pl.multiple_of(c * sub, sub)
             chunk = src_ref[0, pl.ds(base, sub), :]  # (8, w)
+            achunk = aux_ref[0, pl.ds(base, sub), :] if has_aux else None
             cf = (c * sub).astype(jnp.float32)
             for j in range(sub):
                 acc[j % nacc] = row_update(
                     acc[j % nacc], cf + jnp.float32(j),
                     c * sub + j, chunk[j : j + 1, :],
+                    achunk[j : j + 1, :] if has_aux else None,
                 )
             return tuple(acc)
 
         init = tuple(
             (
                 jnp.full((ts, w), NEG, jnp.float32),
-                jnp.zeros((ts, w), jnp.int32),
+                jnp.full((ts, w), 0x7FFFFFFF, jnp.int32)
+                if has_aux
+                else jnp.zeros((ts, w), jnp.int32),
             )
             for _ in range(nacc)
         )
         if nfull > 0:
             live = pl.cdiv(nv_ref[pl.program_id(0)], sub)
-            acc = list(
-                jax.lax.fori_loop(
-                    0, jnp.minimum(live, nfull), chunk_body, init
+            hi = jnp.minimum(live, nfull)
+            lo = jnp.int32(0)
+            if window:
+                a_s = a_ref[bi]
+                b_s = b_ref[bi]
+                qlo = sh_ref[bi] + jnp.float32(step) * (ti * ts)
+                qhi = qlo + jnp.float32(step * (ts - 1))
+                w2 = -a_s
+                w1m = jnp.abs(b_s)
+                nvf = nv_ref[bi].astype(jnp.float32)
+                # max distance from any tile output to [0, nv-1]
+                delta = jnp.maximum(
+                    0.0, jnp.maximum(-qlo, qhi - (nvf - 1.0))
                 )
-            )
+                c_bound = (
+                    rng_ref[bi] + (w2 * delta + w1m) * delta
+                ) * 1.00001 + 1e-4
+                wt = (
+                    w1m + jnp.sqrt(w1m * w1m + 4.0 * w2 * c_bound)
+                ) / (2.0 * jnp.where(w2 > 0, w2, 1.0))
+                wt = wt * 1.0001 + 1.0  # fp slack: only widens
+                winlo = jnp.floor((qlo - wt) / sub).astype(jnp.int32)
+                winhi = jnp.floor((qhi + wt) / sub).astype(jnp.int32) + 1
+                # w2 == 0: no quadratic term -> no finite bound
+                ok = w2 > 0.0
+                lo = jnp.where(ok, jnp.maximum(0, winlo), 0)
+                hi = jnp.where(ok, jnp.minimum(hi, winhi), hi)
+                lo = jnp.minimum(lo, hi)
+            acc = list(jax.lax.fori_loop(lo, hi, chunk_body, init))
         else:
             acc = list(init)
         for j in range(ntail):  # static tail rows
@@ -577,13 +639,19 @@ def _make_sublane_kernel(*, h, dlen, w, ts, step, nacc):
             acc[j % nacc] = row_update(
                 acc[j % nacc], jnp.float32(v), v,
                 src_ref[0, v : v + 1, :],
+                aux_ref[0, v : v + 1, :] if has_aux else None,
             )
         best, bestv = acc[0]
+        vkey = (bestv & 0xFFF) if has_aux else bestv
         for best2, bestv2 in acc[1:]:
             # exact first-max merge: ties go to the smaller source index
-            pred = (best2 > best) | ((best2 == best) & (bestv2 < bestv))
+            vkey2 = (bestv2 & 0xFFF) if has_aux else bestv2
+            pred = (best2 > best) | ((best2 == best) & (vkey2 < vkey))
             best = jnp.where(pred, best2, best)
             bestv = jnp.where(pred, bestv2, bestv)
+            vkey = jnp.where(pred, vkey2, vkey)
+        if has_aux:
+            bestv = jnp.where(best == NEG, 0, bestv)  # all-masked rows
         out_ref[0, :, :] = best
         ptr_ref[0, :, :] = bestv
 
@@ -597,10 +665,12 @@ def _sublane_ts() -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dlen", "step", "interpret")
+    jax.jit,
+    static_argnames=("dlen", "step", "interpret", "has_aux", "window"),
 )
-def _dt1d_sublane_call(src, a, b, shift, nvalid, dlen: int, step: int,
-                       interpret: bool):
+def _dt1d_sublane_call(src, a, b, shift, nvalid, aux, dlen: int, step: int,
+                       interpret: bool, has_aux: bool = False,
+                       window: bool = False):
     bsz, h, w = src.shape
     a_p = jnp.asarray(a, jnp.float32).reshape(bsz)
     b_p = jnp.asarray(b, jnp.float32).reshape(bsz)
@@ -610,17 +680,35 @@ def _dt1d_sublane_call(src, a, b, shift, nvalid, dlen: int, step: int,
     ts = min(_sublane_ts(), _round_up(dlen, 8))
     nqt = -(-dlen // ts)
     kernel = _make_sublane_kernel(
-        h=h, dlen=dlen, w=w, ts=ts, step=step, nacc=NACC
+        h=h, dlen=dlen, w=w, ts=ts, step=step, nacc=NACC, has_aux=has_aux,
+        window=window,
     )
+    map_spec = pl.BlockSpec(
+        (1, h, w), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    operands = [a_p, b_p, sh_p, nv_p]
+    in_specs = [scalar_spec] * 4
+    if window:
+        # per-map live value range R = max - min over sources that can
+        # win (strictly above the NEG sentinel; -inf/NEG never wins and
+        # never serves as the v_near witness — see _make_sublane_kernel)
+        srcf = src.astype(jnp.float32)
+        livem = srcf > (0.5 * NEG)
+        mx = jnp.max(jnp.where(livem, srcf, -jnp.inf), axis=(-2, -1))
+        mn = jnp.min(jnp.where(livem, srcf, jnp.inf), axis=(-2, -1))
+        rng_p = mx - mn
+        rng_p = jnp.where(jnp.isfinite(rng_p), rng_p, 0.0)
+        operands.append(rng_p)
+        in_specs.append(scalar_spec)
+    operands.append(src.astype(jnp.float32))
+    in_specs.append(map_spec)
+    if has_aux:
+        operands.append(aux.astype(jnp.int32))
+        in_specs.append(map_spec)
     out, ptr = pl.pallas_call(
         kernel,
         grid=(bsz, nqt),
-        in_specs=[scalar_spec] * 4
-        + [
-            pl.BlockSpec(
-                (1, h, w), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM
-            )
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (1, ts, w), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM
@@ -632,7 +720,7 @@ def _dt1d_sublane_call(src, a, b, shift, nvalid, dlen: int, step: int,
             jax.ShapeDtypeStruct((bsz, dlen, w), jnp.int32),
         ],
         interpret=interpret,
-    )(a_p, b_p, sh_p, nv_p, src.astype(jnp.float32))
+    )(*operands)
     return out, ptr
 
 
@@ -645,12 +733,23 @@ def dt1d_sublane(
     step: int = 1,
     nvalid=None,
     interpret: bool = False,
+    aux=None,
+    window: bool = False,
 ):
     """Batched 1-D DT along axis -2 (the sublane axis) — the y pass in
     the natural (..., H, W) layout, so the 2-D composition needs zero
     transposes. src: (..., H, W); a/b/shift broadcastable to
     src.shape[:-2]; nvalid: per-map valid source-row count (rows beyond
-    must be -inf). Returns (out (..., dlen, W), ptr int32 same shape).
+    must be -inf). aux (optional, same shape as src, int32 < 2^12):
+    per-source rows carried through the max — ptr becomes
+    (aux[argmax] << 12) | argmax (the fused pointer composition; used
+    by the transposed x-pass). window=True enables the exact
+    displacement-window chunk pruning (see _make_sublane_kernel); it
+    additionally requires every lane to be either entirely dead (all
+    sources <= NEG/2) or live at each index in [0, nvalid) — interior
+    dead holes would invalidate the nearest-source witness. The
+    pipeline's -inf padding is contiguous rectangles, which satisfies
+    this. Returns (out (..., dlen, W), ptr int32 same shape).
     """
     batch_shape = src.shape[:-2]
     h, w = src.shape[-2], src.shape[-1]
@@ -659,9 +758,11 @@ def dt1d_sublane(
     full = lambda x: jnp.broadcast_to(jnp.asarray(x), batch_shape).reshape(bsz)
     if nvalid is None:
         nvalid = h
+    has_aux = aux is not None
+    aux3 = aux.reshape(bsz, h, w) if has_aux else src3[..., :0, :0]
     out, ptr = _dt1d_sublane_call(
-        src3, full(a), full(b), full(shift), full(nvalid), dlen, step,
-        interpret,
+        src3, full(a), full(b), full(shift), full(nvalid), aux3, dlen,
+        step, interpret, has_aux, window,
     )
     return (
         out.reshape(*batch_shape, dlen, w),

@@ -281,3 +281,158 @@ def test_dlen_past_lane_multiple_matches_envelope(n, dlen, shift):
         np.testing.assert_array_equal(
             (ptr[i] >> 12)[fin], aux[i][want_p[fin]]
         )
+
+
+@pytest.mark.parametrize("h,w,dlen,step,shift,tie_stress", [
+    (70, 90, 70, 1, -2, False),
+    (166, 126, 166, 1, 0, False),
+    (40, 64, 20, 2, 1, False),
+    (33, 50, 33, 1, 0, True),
+])
+def test_sublane_dt_aux_matches_lane_kernel(h, w, dlen, step, shift,
+                                            tie_stress):
+    """Sublane aux carry (the transposed x-pass): packed (aux<<12)|v
+    pointers and values must bit-match the lane-chunked kernel on the
+    same data. tie_stress uses a == b == 0 (pure max) so nearly every
+    output ties across many sources — exercising the smallest-v rule
+    through the ILP-chain merges of both kernels."""
+    import jax.numpy as jnp
+    from partsbaseddetector_tpu.ops.pallas_dt import dt1d_sublane
+
+    rng = np.random.RandomState(7)
+    bsz = 3
+    if tie_stress:
+        src = (rng.randint(-6, 6, (bsz, h, w)) / 4.0).astype(np.float32)
+        a = np.zeros(bsz, np.float32)
+        b = np.zeros(bsz, np.float32)
+    else:
+        # dyadic rationals (multiples of 1/64, |values| << 2^24/64) keep
+        # every product/sum exactly representable, so both kernels are
+        # bit-identical regardless of FMA-contraction choices — the
+        # assert pins indexing/packing/tie semantics, not fp rounding
+        # (value accuracy is covered by the envelope-reference tests)
+        src = (rng.randint(-96, 96, (bsz, h, w)) / 64.0).astype(np.float32)
+        a = (-(1 + rng.randint(0, 8, bsz)) / 64.0).astype(np.float32)
+        b = (rng.randint(-4, 5, bsz) / 64.0).astype(np.float32)
+    aux = rng.randint(0, 1500, (bsz, h, w)).astype(np.int32)
+    sh = np.full(bsz, shift, np.float32)
+    out_s, ptr_s = dt1d_sublane(
+        jnp.asarray(src), a, b, sh, dlen, step,
+        aux=jnp.asarray(aux), interpret=True,
+    )
+    # lane kernel scans the LAST axis: feed it the transposed maps with
+    # per-row broadcast params, then transpose its outputs back
+    a2 = np.broadcast_to(a[:, None], (bsz, w))
+    b2 = np.broadcast_to(b[:, None], (bsz, w))
+    sh2 = np.broadcast_to(sh[:, None], (bsz, w))
+    out_l, ptr_l = dt1d_pallas(
+        jnp.swapaxes(jnp.asarray(src), -1, -2), a2, b2, sh2, dlen, step,
+        aux=jnp.swapaxes(jnp.asarray(aux), -1, -2), interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_s), np.swapaxes(np.asarray(out_l), -1, -2)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ptr_s), np.swapaxes(np.asarray(ptr_l), -1, -2)
+    )
+
+
+def test_xpass_sublane_composition_exact(monkeypatch):
+    """Full 2-D packed DT: the sublane x-pass must produce bit-identical
+    messages and packed pointers to the lane-chunked x-pass, including
+    -inf bucket padding and per-row valid extents."""
+    import jax.numpy as jnp
+    from partsbaseddetector_tpu.ops.distance_transform import (
+        shift_distance_transform_2d_packed,
+    )
+
+    monkeypatch.setenv("PBD_DT_IMPL", "interpret")
+    rng = np.random.RandomState(11)
+    G, S, H, W = 2, 3, 40, 70
+    # dyadic data (see test_sublane_dt_aux_matches_lane_kernel): exact
+    # arithmetic makes the two x-pass backends bit-comparable
+    score = (rng.randint(-96, 96, (G, S, H, W)) / 64.0).astype(np.float32)
+    vh = np.array([[40, 28, 9]] * G, np.int32)
+    vw = np.array([[70, 51, 16]] * G, np.int32)
+    for g in range(G):
+        for s in range(S):
+            score[g, s, vh[g, s]:, :] = -np.inf
+            score[g, s, :, vw[g, s]:] = -np.inf
+    wdef = ((1 + rng.randint(0, 6, (G, S, 4))) / 64.0).astype(np.float32)
+    sx = rng.randint(-3, 4, (G, S)).astype(np.float32)
+    sy = rng.randint(-3, 4, (G, S)).astype(np.float32)
+
+    def run():
+        return shift_distance_transform_2d_packed(
+            jnp.asarray(score), jnp.asarray(wdef), sx, sy,
+            dlen_x=W, dlen_y=H, valid_h=vh, valid_w=vw,
+        )
+
+    monkeypatch.setenv("PBD_DT_XPASS", "chunked")
+    m0, p0 = run()
+    monkeypatch.setenv("PBD_DT_XPASS", "sublane")
+    m1, p1 = run()
+    np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+
+
+@pytest.mark.parametrize("h,w,dlen,step,shift,scale", [
+    (166, 126, 166, 1, 0, 1.0),
+    (100, 80, 100, 1, -3, 1.0),
+    (64, 70, 30, 2, 5, 1.0),
+    (90, 60, 90, 1, 0, 200.0),   # huge range -> window degenerates to full
+    (90, 60, 90, 1, 0, 0.001),   # tiny range -> tightest window
+    (13, 40, 13, 1, 2, 1.0),     # tail-only map (h < 16)
+])
+def test_sublane_window_bitexact_vs_full(h, w, dlen, step, shift, scale):
+    """The displacement-window pruning must be invisible: bit-identical
+    values AND pointers to the full scan, across ranges that make the
+    window tight, loose, and degenerate, with dead lanes, dead maps and
+    -inf row padding (nvalid) in the batch."""
+    import jax.numpy as jnp
+    from partsbaseddetector_tpu.ops.pallas_dt import dt1d_sublane
+
+    rng = np.random.RandomState(13)
+    bsz = 5
+    src = (rng.randn(bsz, h, w) * scale).astype(np.float32)
+    nv = np.array([h, max(1, h // 2), max(1, h - 3), h, h], np.int32)
+    for i in range(bsz):
+        src[i, nv[i]:, :] = -np.inf
+    src[1, :, w // 2:] = -np.inf  # dead lanes
+    src[2, :, :] = -np.inf        # dead map
+    aux = rng.randint(0, 2000, (bsz, h, w)).astype(np.int32)
+    a = -(0.005 + 0.05 * rng.rand(bsz)).astype(np.float32)
+    b = (0.02 * rng.randn(bsz)).astype(np.float32)  # both signs of w1
+    sh = np.full(bsz, shift, np.float32)
+    outs = {}
+    for win in (False, True):
+        outs[win] = dt1d_sublane(
+            jnp.asarray(src), a, b, sh, dlen, step, nvalid=nv,
+            aux=jnp.asarray(aux), interpret=True, window=win,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(outs[False][0]), np.asarray(outs[True][0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs[False][1]), np.asarray(outs[True][1])
+    )
+
+
+def test_sublane_window_pure_max_and_zero_w2():
+    """w2 == 0 (no quadratic term) must disable the window (fall back to
+    the full scan) — a linear or zero penalty has no finite exclusion
+    radius."""
+    import jax.numpy as jnp
+    from partsbaseddetector_tpu.ops.pallas_dt import dt1d_sublane
+
+    rng = np.random.RandomState(3)
+    src = rng.randn(3, 80, 40).astype(np.float32)
+    a = np.array([0.0, 0.0, -0.02], np.float32)
+    b = np.array([0.0, 0.05, -0.05], np.float32)
+    sh = np.zeros(3, np.float32)
+    o0 = dt1d_sublane(jnp.asarray(src), a, b, sh, 80, 1, interpret=True,
+                      window=False)
+    o1 = dt1d_sublane(jnp.asarray(src), a, b, sh, 80, 1, interpret=True,
+                      window=True)
+    np.testing.assert_array_equal(np.asarray(o0[0]), np.asarray(o1[0]))
+    np.testing.assert_array_equal(np.asarray(o0[1]), np.asarray(o1[1]))
