@@ -30,7 +30,7 @@ from partsbaseddetector_tpu.utils.profiling import device_op_breakdown
 S, C, F, FH, FW = int(os.environ.get("PS", "5")), 32, int(os.environ.get("PF", "104")), 5, 5
 H, W = int(os.environ.get("PH", "126")), int(os.environ.get("PW", "166"))
 OH, OW = H - FH + 1, W - FW + 1
-TOH = int(os.environ.get("TOH", "8"))
+TOH = int(os.environ.get("TOH", "2"))
 OWP = ((OW + 127) // 128) * 128  # lane-padded per-row column width
 FP = ((F + 127) // 128) * 128
 K = FH * FW * C
@@ -102,6 +102,9 @@ def conv_pallas(feat_t):
         ),
         out_shape=jax.ShapeDtypeStruct((S, NOH * TOH, OW, FP), jnp.float32),
         scratch_shapes=[pltpu.VMEM((K, TOH * OWP), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=14 << 20  # error at compile, never wedge
+        ),
         interpret=bool(int(os.environ.get("INTERP", "0"))),
     )(feat_t, w2)
     return out[:, :OH, :, :F]
