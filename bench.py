@@ -192,9 +192,9 @@ def main():
         baseline="single-image rate (batching gain)",
         microbatch=micro,
         note=(
-            "single-image program already keeps the chip ~97% occupied "
-            "(trace: device jit time ~40.3 ms of ~41.3 ms wall), so "
-            "batching can only amortize the residual dispatch gap"
+            "single-image program already keeps the chip ~95%+ "
+            "occupied, so batching can only amortize the residual "
+            "dispatch gap"
         ),
     )
 

@@ -19,6 +19,7 @@ import numpy as np
 
 from .models.model import PackedModel
 from .ops.conv import filter_responses, filter_responses_fft
+from .ops.conv_pallas import filter_responses_infer
 from .ops.dp import tree_min_sum
 from .ops.pyramid import (
     PyramidPlan,
@@ -71,6 +72,10 @@ def root_scores(
     miscompiles on the CPU backend)."""
     spec = packed.spec
     conv = ENGINES[engine]
+    if engine == "spatial" and params is None:
+        # inference: the Pallas implicit-GEMM kernel on TPU (1.8x the
+        # XLA conv lowering); training keeps the differentiable XLA conv
+        conv = filter_responses_infer
     im = im.astype(dtype)
     feats = build_pyramid_features(im, plan, spec)
     filters = (
