@@ -561,10 +561,10 @@ def _make_sublane_kernel(*, h, dlen, w, ts, step, nacc, has_aux=False,
             rng_ref = None
         bi = pl.program_id(0)
         ti = pl.program_id(1)
-        a = a_ref[bi]
-        b = b_ref[bi]
+        a = a_ref[bi, 0]
+        b = b_ref[bi, 0]
         i = ti * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, 1), 0)
-        q = sh_ref[bi] + jnp.float32(step) * i.astype(jnp.float32)
+        q = sh_ref[bi, 0] + jnp.float32(step) * i.astype(jnp.float32)
 
         def row_update(carry_entry, vf, v_int, srow, arow):
             best, bestv = carry_entry
@@ -602,23 +602,23 @@ def _make_sublane_kernel(*, h, dlen, w, ts, step, nacc, has_aux=False,
             for _ in range(nacc)
         )
         if nfull > 0:
-            live = pl.cdiv(nv_ref[pl.program_id(0)], sub)
+            live = pl.cdiv(nv_ref[pl.program_id(0), 0], sub)
             hi = jnp.minimum(live, nfull)
             lo = jnp.int32(0)
             if window:
-                a_s = a_ref[bi]
-                b_s = b_ref[bi]
-                qlo = sh_ref[bi] + jnp.float32(step) * (ti * ts)
+                a_s = a_ref[bi, 0]
+                b_s = b_ref[bi, 0]
+                qlo = sh_ref[bi, 0] + jnp.float32(step) * (ti * ts)
                 qhi = qlo + jnp.float32(step * (ts - 1))
                 w2 = -a_s
                 w1m = jnp.abs(b_s)
-                nvf = nv_ref[bi].astype(jnp.float32)
+                nvf = nv_ref[bi, 0].astype(jnp.float32)
                 # max distance from any tile output to [0, nv-1]
                 delta = jnp.maximum(
                     0.0, jnp.maximum(-qlo, qhi - (nvf - 1.0))
                 )
                 c_bound = (
-                    rng_ref[bi] + (w2 * delta + w1m) * delta
+                    rng_ref[bi, 0] + (w2 * delta + w1m) * delta
                 ) * 1.00001 + 1e-4
                 wt = (
                     w1m + jnp.sqrt(w1m * w1m + 4.0 * w2 * c_bound)
@@ -672,10 +672,15 @@ def _dt1d_sublane_call(src, a, b, shift, nvalid, aux, dlen: int, step: int,
                        interpret: bool, has_aux: bool = False,
                        window: bool = False):
     bsz, h, w = src.shape
-    a_p = jnp.asarray(a, jnp.float32).reshape(bsz)
-    b_p = jnp.asarray(b, jnp.float32).reshape(bsz)
-    sh_p = jnp.asarray(shift, jnp.float32).reshape(bsz)
-    nv_p = jnp.asarray(nvalid, jnp.int32).reshape(bsz)
+    # scalars ride SMEM as (bsz, 1): a 2-D block whose last two dims
+    # equal the array's stays a legal Mosaic block even after vmap
+    # prepends a batch dim (a 1-D (bsz,) operand batches to (B, bsz)
+    # with block (1, bsz), which the TPU lowering rejects) — the fused
+    # batched detect vmaps this call with a per-image window range
+    a_p = jnp.asarray(a, jnp.float32).reshape(bsz, 1)
+    b_p = jnp.asarray(b, jnp.float32).reshape(bsz, 1)
+    sh_p = jnp.asarray(shift, jnp.float32).reshape(bsz, 1)
+    nv_p = jnp.asarray(nvalid, jnp.int32).reshape(bsz, 1)
     scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     ts = min(_sublane_ts(), _round_up(dlen, 8))
     nqt = -(-dlen // ts)
@@ -698,7 +703,7 @@ def _dt1d_sublane_call(src, a, b, shift, nvalid, aux, dlen: int, step: int,
         mn = jnp.min(jnp.where(livem, srcf, jnp.inf), axis=(-2, -1))
         rng_p = mx - mn
         rng_p = jnp.where(jnp.isfinite(rng_p), rng_p, 0.0)
-        operands.append(rng_p)
+        operands.append(rng_p.reshape(bsz, 1))
         in_specs.append(scalar_spec)
     operands.append(src.astype(jnp.float32))
     in_specs.append(map_spec)

@@ -155,7 +155,11 @@ def device_op_breakdown(fn, *args, iters: int = 5, tmpdir: str = "/tmp/pbd_optra
                         continue
                     if "_dt1d" in name or "sublane" in name:
                         fam = "dt_kernels"
-                    elif "convolution" in name:
+                    elif (
+                        "convolution" in name
+                        or "filter_responses_pallas" in name
+                        or "conv_kernel" in name
+                    ):
                         fam = "conv"
                     elif "copy" in name or "slice-start" in name:
                         fam = "async_copies_overlapped"

@@ -436,3 +436,41 @@ def test_sublane_window_pure_max_and_zero_w2():
                       window=True)
     np.testing.assert_array_equal(np.asarray(o0[0]), np.asarray(o1[0]))
     np.testing.assert_array_equal(np.asarray(o0[1]), np.asarray(o1[1]))
+
+
+def test_sublane_window_under_vmap():
+    """The fused batched detect vmaps the whole pipeline, which batches
+    the per-image window-range operand. Regression for the Mosaic
+    lowering rejection of batched 1-D SMEM scalars (they ride as
+    (bsz, 1) blocks now): vmap results must bit-match the per-image
+    calls, window on and off."""
+    import jax
+    import jax.numpy as jnp
+    from partsbaseddetector_tpu.ops.pallas_dt import dt1d_sublane
+
+    rng = np.random.RandomState(7)
+    B, bsz, h, w = 3, 4, 20, 130
+    # different per-image magnitudes -> genuinely different window
+    # ranges per vmapped instance
+    src = (rng.randn(B, bsz, h, w) *
+           (1.0 + 3.0 * np.arange(B))[:, None, None, None]).astype(
+               np.float32)
+    nv = np.array([h, h - 5, h, max(1, h // 3)], np.int32)
+    for i in range(bsz):
+        src[:, i, nv[i]:, :] = -np.inf
+    a = -(0.01 + 0.05 * rng.rand(bsz)).astype(np.float32)
+    b = (0.02 * rng.randn(bsz)).astype(np.float32)
+    sh = np.full(bsz, -2.0, np.float32)
+    for win in (False, True):
+        fn = lambda x: dt1d_sublane(
+            x, a, b, sh, 24, 1, nvalid=nv, interpret=True, window=win
+        )
+        got_v, got_p = jax.vmap(fn)(jnp.asarray(src))
+        for bi in range(B):
+            want_v, want_p = fn(jnp.asarray(src[bi]))
+            np.testing.assert_array_equal(
+                np.asarray(got_v[bi]), np.asarray(want_v)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got_p[bi]), np.asarray(want_p)
+            )

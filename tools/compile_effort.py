@@ -22,7 +22,8 @@ OPTIONS = {
     "default": {},
     "exec_effort_min": {"exec_time_optimization_effort": -1.0},
     "opt_level_1": {"xla_backend_optimization_level": 1},
-    "eff_o1": {"optimization_level": "EFFORT_O1"},
+    "eff_o1": {"optimization_level": 1},
+    "eff_o0": {"optimization_level": 0},
 }
 
 which = sys.argv[1] if len(sys.argv) > 1 else "default"
@@ -30,7 +31,10 @@ opts = OPTIONS[which]
 
 model = make_person_like_model()
 model.thresh = 100.0
-det = PartsBasedDetector(model, max_detections=256, buckets_per_octave=2)
+det = PartsBasedDetector(
+    model, max_detections=256,
+    buckets_per_octave=int(os.environ.get("PBD_CE_BPO", "2")),
+)
 im = jax.device_put(
     (np.random.RandomState(0).rand(480, 640, 3) * 255).astype(np.float32)
 )
