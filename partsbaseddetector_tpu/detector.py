@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models.model import Model, PackedModel, pack_model
-from .ops.dp import backtrack
+from .ops.dp import backtrack, backtrack_merged
 from .pipeline import make_plan, root_scores
 from .types import Candidate, DetectionResult
 
@@ -237,10 +237,68 @@ class PartsBasedDetector:
         p_max = packed.max_nparts
 
         def fn(im: jax.Array):
+            import os as _os
+
             scores = root_scores(
                 im, packed, plan, engine=self.conv_engine, dtype=self.dtype
             )
             boxes_l, scores_l, mix_l, valid_l, comp_l = [], [], [], [], []
+            # merged tail: one global top_k + one level-batched walk
+            # across ALL buckets of a component (vs NB sorts + NB*(P-1)
+            # serialized gathers) — see ops/dp.py::backtrack_merged.
+            # Octave-offset components (parts on finer grids) keep the
+            # per-bucket walk.
+            merged_ok = _os.environ.get("PBD_BACKTRACK", "merged") == "merged"
+            by_comp: dict = {}
+            if merged_ok:
+                for bs in scores:
+                    by_comp.setdefault(bs.component, []).append(bs)
+            off_x = -1 if spec.border == "cpp" else -spec.padx
+            off_y = -1 if spec.border == "cpp" else -spec.pady
+            merged_cids = [
+                c
+                for c, lst in sorted(by_comp.items())
+                if packed.components[c].max_ds == 0
+            ]
+            for c in merged_cids:
+                lst = sorted(by_comp[c], key=lambda bs: bs.bucket_index)
+                comp = packed.components[c]
+                bscales = [
+                    jnp.asarray(
+                        [
+                            plan.scales[s].box_scale
+                            for s in plan.buckets[bs.bucket_index].scale_indices
+                        ],
+                        self.dtype,
+                    )
+                    for bs in lst
+                ]
+                bx, sc, mx, vd = backtrack_merged(
+                    [bs.rootv for bs in lst],
+                    [bs.rooti for bs in lst],
+                    [bs.tables for bs in lst],
+                    comp,
+                    bscales,
+                    box_off_x=off_x,
+                    box_off_y=off_y,
+                    thresh=spec.thresh,
+                    max_det=max_det,
+                )
+                pc = comp.nparts
+                if pc < p_max:
+                    rep = jnp.broadcast_to(
+                        bx[:, :1], (bx.shape[0], p_max - pc, 4)
+                    )
+                    bx = jnp.concatenate([bx, rep], axis=1)
+                    mx = jnp.pad(mx, ((0, 0), (0, p_max - pc)))
+                boxes_l.append(bx)
+                scores_l.append(sc)
+                mix_l.append(mx)
+                valid_l.append(vd)
+                comp_l.append(jnp.full(sc.shape, c, jnp.int32))
+            scores = [
+                bs for bs in scores if bs.component not in merged_cids
+            ]
             for bs in scores:
                 bucket = plan.buckets[bs.bucket_index]
                 comp = packed.components[bs.component]
@@ -250,8 +308,6 @@ class PartsBasedDetector:
                 )
                 # box origin: MATLAB subtracts the virtual padding; the
                 # C++ demo subtracts one cell (DynamicProgram.cpp:239)
-                off_x = -1 if spec.border == "cpp" else -spec.padx
-                off_y = -1 if spec.border == "cpp" else -spec.pady
                 bx, sc, mx, vd = backtrack(
                     bs.rootv,
                     bs.rooti,

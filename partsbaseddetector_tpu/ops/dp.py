@@ -502,6 +502,150 @@ def tree_min_sum(
     return rootv, rooti, tables
 
 
+def backtrack_merged(
+    rootvs: List[jax.Array],
+    rootis: List[jax.Array],
+    tables_list: List[Dict[int, jax.Array]],
+    comp: PackedComponent,
+    box_scales_list: List[jax.Array],
+    box_off_x: int,
+    box_off_y: int,
+    thresh: float,
+    max_det: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Cross-bucket candidate extraction + one level-batched tree walk.
+
+    The per-bucket `backtrack` pays one top_k sort per bucket and P-1
+    *serialized* 256-wide gathers per bucket (the round-2 device trace
+    attributes ~3 ms of the person26 detect tail to this scalar-core
+    chain: ~250 small gathers with SMEM index staging). This variant
+    restructures the tail:
+
+      1. ONE global top_k over the flat-concatenated root maps of all
+         buckets (replaces NB bucket sorts + the merge sort),
+      2. per-candidate bucket/scale/coords recovered by vectorized
+         divmod against static per-bucket offsets,
+      3. ONE pointer-table gather per tree *level*: every part's
+         pointer tables for every bucket ride a single flat
+         concatenation, and all parts at a depth d gather together —
+         total gathers = tree depth, not NB * (P - 1).
+
+    Requires a homogeneous component (all parts on the root grid:
+    ds_total == 0 — callers fall back to `backtrack` otherwise).
+    Candidate SET and scores match the per-bucket path exactly; order
+    among exactly-tied scores may differ (global flat-index order vs
+    per-bucket-then-merge order).
+
+    Same return contract as `backtrack`, over the union of buckets.
+    Reference: detect_fast.m:144-177 (same walk semantics).
+    """
+    nb = len(rootvs)
+    p_total = comp.nparts
+    m_total = comp.maxmix
+    dtype = rootvs[0].dtype
+    s_l = [int(rv.shape[0]) for rv in rootvs]
+    h_l = [int(rv.shape[1]) for rv in rootvs]
+    w_l = [int(rv.shape[2]) for rv in rootvs]
+    n_l = [s * h * w for s, h, w in zip(s_l, h_l, w_l)]
+    off = np.concatenate([[0], np.cumsum(n_l)]).astype(np.int64)
+    ntot = int(off[-1])
+    assert (p_total - 1) * m_total * ntot < 2**31 - 1, (
+        "flat table index must fit int32"
+    )
+
+    flat = jnp.concatenate([rv.reshape(-1) for rv in rootvs])
+    k = min(max_det, ntot)
+    vals, idx = jax.lax.top_k(flat, k)
+    if k < max_det:
+        vals = jnp.concatenate(
+            [vals, jnp.full(max_det - k, NEG_INF, vals.dtype)]
+        )
+        idx = jnp.concatenate([idx, jnp.zeros(max_det - k, idx.dtype)])
+    valid = vals >= thresh
+
+    bid = jnp.zeros(idx.shape, jnp.int32)
+    for b in range(1, nb):
+        bid = bid + (idx >= np.int32(off[b])).astype(jnp.int32)
+    off_arr = jnp.asarray(off[:nb].astype(np.int32))[bid]  # (K,)
+    hc = jnp.asarray(np.asarray(h_l, np.int32))[bid]
+    wc = jnp.asarray(np.asarray(w_l, np.int32))[bid]
+    local = idx - off_arr
+    hw = hc * wc
+    si = local // hw
+    rem = local % hw
+    yi = rem // wc
+    xi = rem % wc
+    mi = jnp.concatenate([ri.reshape(-1) for ri in rootis])[idx]
+
+    # one flat table buffer: part-major, then bucket-major inside —
+    # entry (p, b, s, l, y, x) lives at
+    # (p-1)*M*ntot + M*off[b] + ((s*M + l)*Hb + y)*Wb + x
+    per_part = m_total * ntot
+    t_flat = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [tables_list[b][p].reshape(-1) for b in range(nb)]
+            )
+            for p in range(1, p_total)
+        ]
+    )
+    t_off = m_total * off_arr  # (K,) int32 bucket base within a part
+
+    depth = np.zeros(p_total, dtype=np.int64)
+    for p in range(1, p_total):
+        depth[p] = depth[int(comp.parentid[p])] + 1
+    levels: Dict[int, List[int]] = {}
+    for p in range(1, p_total):
+        levels.setdefault(int(depth[p]), []).append(p)
+
+    xs: List[jax.Array] = [None] * p_total
+    ys: List[jax.Array] = [None] * p_total
+    ms: List[jax.Array] = [None] * p_total
+    xs[0], ys[0], ms[0] = xi, yi, mi
+    for d in sorted(levels):
+        parts = levels[d]
+        pidx = np.asarray(parts, np.int64) - 1  # rows into t_flat
+        par_x = jnp.stack([xs[int(comp.parentid[p])] for p in parts])
+        par_y = jnp.stack([ys[int(comp.parentid[p])] for p in parts])
+        par_m = jnp.stack([ms[int(comp.parentid[p])] for p in parts])
+        base = jnp.asarray((pidx * per_part).astype(np.int32))[:, None]
+        idx_t = (
+            base
+            + t_off[None, :]
+            + ((si[None, :] * m_total + par_m) * hc[None, :] + par_y)
+            * wc[None, :]
+            + par_x
+        )  # (G, K)
+        ptr = t_flat[idx_t]
+        for g, p in enumerate(parts):
+            xs[p] = ptr[g] & 0xFFF
+            ys[p] = (ptr[g] >> 12) & 0xFFF
+            ms[p] = ptr[g] >> 24
+
+    soff = np.concatenate([[0], np.cumsum(s_l)]).astype(np.int32)
+    bsc_flat = jnp.concatenate(
+        [jnp.asarray(b_, dtype) for b_ in box_scales_list]
+    )
+    root_scale = bsc_flat[jnp.asarray(soff[:nb])[bid] + si]  # (K,)
+
+    xs_t = jnp.stack(xs)  # (P, K)
+    ys_t = jnp.stack(ys)
+    ms_t = jnp.stack(ms)
+    fsize = jnp.asarray(comp.fsize)  # (P, M, 2)
+    sz = fsize[
+        jnp.arange(p_total, dtype=jnp.int32)[:, None], ms_t
+    ]  # (P, K, 2)
+    sc_b = root_scale[None, :]  # ds_total == 0: one grid for all parts
+    x1 = (xs_t.astype(dtype) + box_off_x) * sc_b
+    y1 = (ys_t.astype(dtype) + box_off_y) * sc_b
+    x2 = x1 + sz[..., 1].astype(dtype) * sc_b - 1
+    y2 = y1 + sz[..., 0].astype(dtype) * sc_b - 1
+    boxes = jnp.stack([x1, y1, x2, y2], axis=-1)  # (P, K, 4)
+    boxes = jnp.swapaxes(boxes, 0, 1)  # (K, P, 4)
+    mixtures = jnp.swapaxes(ms_t, 0, 1).astype(jnp.int32)
+    return boxes, vals, mixtures, valid
+
+
 def backtrack(
     rootv: jax.Array,
     rooti: jax.Array,

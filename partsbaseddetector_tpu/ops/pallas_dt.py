@@ -43,7 +43,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-NACC = 4  # independent select-chain accumulators (ILP)
+def _nacc() -> int:
+    """Independent select-chain accumulators (ILP) in the sublane DT
+    kernel; tunable for A/B probes (tools/), default measured-best."""
+    import os
+
+    return int(os.environ.get("PBD_DT_NACC", "4"))
+
+
+NACC = 4  # lane-chunk kernel accumulators (ILP)
 NEG = float(np.finfo(np.float32).min)  # -inf breaks min-identity padding
 
 
@@ -661,7 +669,7 @@ def _make_sublane_kernel(*, h, dlen, w, ts, step, nacc, has_aux=False,
 def _sublane_ts() -> int:
     import os
 
-    return int(os.environ.get("PBD_DT_TS", "16"))
+    return int(os.environ.get("PBD_DT_TS", "24"))
 
 
 @functools.partial(
@@ -685,8 +693,8 @@ def _dt1d_sublane_call(src, a, b, shift, nvalid, aux, dlen: int, step: int,
     ts = min(_sublane_ts(), _round_up(dlen, 8))
     nqt = -(-dlen // ts)
     kernel = _make_sublane_kernel(
-        h=h, dlen=dlen, w=w, ts=ts, step=step, nacc=NACC, has_aux=has_aux,
-        window=window,
+        h=h, dlen=dlen, w=w, ts=ts, step=step, nacc=_nacc(),
+        has_aux=has_aux, window=window,
     )
     map_spec = pl.BlockSpec(
         (1, h, w), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM

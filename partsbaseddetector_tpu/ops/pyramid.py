@@ -317,6 +317,12 @@ def mask_responses(
     uses -inf; the differentiable training path passes a large finite
     value (non-finite arithmetic makes rematerialized VJPs NaN)."""
     s, hr, wr, f = resp.shape
-    my = jnp.arange(hr)[None, :, None, None] < jnp.asarray(vh)[:, None, None, :]
-    mx = jnp.arange(wr)[None, None, :, None] < jnp.asarray(vw)[:, None, None, :]
-    return jnp.where(my & mx, resp, neg)
+    # host-precomputed boolean factors: comparing device-side against the
+    # (S, F) int32 extent tables makes XLA stage those thin constants
+    # through SMEM (a ~0.2-1.3 ms scalar-core copy per table per bucket
+    # program, measured in the round-2 trace); bool vector constants
+    # broadcast straight from HBM inside the consumer fusion instead
+    my = np.arange(hr)[None, :, None] < np.asarray(vh)[:, None, :]  # (S,hr,F)
+    mx = np.arange(wr)[None, :, None] < np.asarray(vw)[:, None, :]  # (S,wr,F)
+    mask = jnp.asarray(my)[:, :, None, :] & jnp.asarray(mx)[:, None, :, :]
+    return jnp.where(mask, resp, neg)
