@@ -48,7 +48,7 @@ def _nacc() -> int:
     kernel; tunable for A/B probes (tools/), default measured-best."""
     import os
 
-    return int(os.environ.get("PBD_DT_NACC", "4"))
+    return int(os.environ.get("PBD_DT_NACC", "2"))
 
 
 NACC = 4  # lane-chunk kernel accumulators (ILP)
