@@ -99,6 +99,27 @@ class DetectionStream:
         for cb in self._subs[topic]:
             cb(payload)
 
+    def process_stream(self, frames, lookahead: int = 2):
+        """Pipelined frame loop: yields FrameResult per (rgb, depth[,
+        cloud]) tuple with up to `lookahead` device programs in flight
+        (detector.detect_stream), so device work overlaps the host
+        post-stages below. The reference node processes frames strictly
+        sequentially (ros/Node.cpp:144); on an accelerator that
+        serialization idles the chip between frames."""
+        norm = []
+        for f in frames:
+            if not isinstance(f, tuple):
+                f = (f, None, None)
+            elif len(f) == 2:
+                f = f + (None,)
+            norm.append(f)
+        det_frames = [(rgb, depth) for rgb, depth, _ in norm]
+        for (rgb, depth, cloud), candidates in zip(
+            norm,
+            self.detector.detect_stream(det_frames, lookahead=lookahead),
+        ):
+            yield self._post(rgb, depth, cloud, candidates)
+
     def process(
         self,
         rgb: np.ndarray,
@@ -107,6 +128,15 @@ class DetectionStream:
     ) -> FrameResult:
         """One synchronized frame through the full node pipeline."""
         candidates = self.detector.detect(rgb, depth)
+        return self._post(rgb, depth, cloud, candidates)
+
+    def _post(
+        self,
+        rgb: np.ndarray,
+        depth: Optional[np.ndarray],
+        cloud: Optional[np.ndarray],
+        candidates: List[Candidate],
+    ) -> FrameResult:
         candidates = Candidate.sort(candidates)
         candidates = Candidate.non_maxima_suppression(
             rgb.shape[:2], candidates, self.max_overlap

@@ -114,12 +114,13 @@ def filter_candidates_by_depth(
     for cand in candidates:
         comp = packed.components[cand.component]
         ok = True
+        # one median per part (a parent's median is otherwise recomputed
+        # for each of its children — the medians dominate this filter)
+        med = [_median_depth(depth, cand.parts[p]) for p in range(comp.nparts)]
         for p in range(comp.nparts - 1, 0, -1):
             anchor = comp.anchor[p, 0, :2].astype(np.float64)
-            child = cand.parts[p]
-            parent = cand.parts[int(comp.parentid[p])]
-            cmed = _median_depth(depth, child)
-            pmed = _median_depth(depth, parent)
+            cmed = med[p]
+            pmed = med[int(comp.parentid[p])]
             if cmed > 0 and pmed > 0:
                 if abs(cmed - pmed) > np.linalg.norm(anchor) * zfactor:
                     ok = False

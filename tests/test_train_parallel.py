@@ -134,6 +134,43 @@ def test_stream_api():
         assert got["poses"][0].shape == (4, 4)
 
 
+def test_stream_pipelined_matches_sync():
+    """detect_stream / process_stream (lookahead pipelining) must yield
+    the same per-frame results as the synchronous path."""
+    from partsbaseddetector_tpu.apps.stream import DetectionStream
+
+    model = _tiny_model(seed=5)
+    model.thresh = -5.0
+    det = PartsBasedDetector(model, max_detections=16)
+    rng = np.random.RandomState(4)
+    frames = [
+        (
+            (rng.rand(80, 80, 3) * 255).astype(np.float32),
+            np.full((80, 80), 2.0, dtype=np.float32),
+        )
+        for _ in range(5)
+    ]
+    streamed = list(det.detect_stream(frames, lookahead=2))
+    assert len(streamed) == len(frames)
+    for (rgb, depth), got in zip(frames, streamed):
+        want = det.detect(rgb, depth)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g.score == w.score
+            np.testing.assert_array_equal(
+                np.asarray(g.parts), np.asarray(w.parts)
+            )
+
+    stream = DetectionStream(det)
+    results = list(stream.process_stream(frames, lookahead=3))
+    assert len(results) == len(frames)
+    for (rgb, depth), res in zip(frames, results):
+        want = stream.process(rgb, depth)
+        assert len(res.candidates) == len(want.candidates)
+        for g, w in zip(res.candidates, want.candidates):
+            assert g.score == w.score
+
+
 def test_graft_entry_importable():
     import importlib.util, sys, os
 
