@@ -167,34 +167,49 @@ def main():
         parity_candidates=int(both.sum()),
     )
 
-    # ---- config 4: 64-image fused batched throughput ---------------------
-    micro = int(os.environ.get("PBD_BENCH_MICROBATCH", "8"))
-    bfn = det_p.detect_batch_fn(IMSIZE, micro)
-    batch = jax.device_put(
-        np.stack([im] * micro)
-        + rng.rand(micro, 1, 1, 1).astype(np.float32)
-    )
-    out = bfn(batch)
-    jax.block_until_ready(out)
-    _ = np.asarray(out[1])
+    # ---- config 4: 64-image batched throughput ----------------------------
+    # Serving path: async dispatch of the single-image program per image
+    # + ONE pipelined device_get over all outputs (detect_many default).
+    # Measured fastest (tools/batch64_probe.py): 43.4 img/s vs 39.9 for
+    # the fused vmap at micro=8 — the single-image program already keeps
+    # the chip ~95%+ occupied, so vmap only adds batched-gather glue;
+    # serial per-output reads would pay a ~10 ms tunnel RTT per image.
+    # PBD_BENCH_MICROBATCH>1 measures the fused vmap program instead.
+    micro = int(os.environ.get("PBD_BENCH_MICROBATCH", "1"))
     nimg = 64
-    t0 = time.perf_counter()
-    outs = [bfn(batch) for _ in range(nimg // micro)]
-    for o in outs:
-        _ = np.asarray(o[1])
-    sec_b = (time.perf_counter() - t0) / nimg
+    if micro == 1:
+        fn_b = det_p.detect_fn(IMSIZE)  # warm from config 2
+        imd = jax.device_put(im)
+        t0 = time.perf_counter()
+        outs = [fn_b(imd) for _ in range(nimg)]
+        outs = jax.device_get(outs)
+        sec_b = (time.perf_counter() - t0) / nimg
+    else:
+        bfn = det_p.detect_batch_fn(IMSIZE, micro)
+        batch = jax.device_put(
+            np.stack([im] * micro)
+            + rng.rand(micro, 1, 1, 1).astype(np.float32)
+        )
+        out = bfn(batch)
+        jax.block_until_ready(out)
+        _ = np.asarray(out[1])
+        t0 = time.perf_counter()
+        outs = [bfn(batch) for _ in range(nimg // micro)]
+        outs = jax.device_get(outs)
+        sec_b = (time.perf_counter() - t0) / nimg
     emit(
         4,
-        "person26 VGA 64-image fused-batch throughput (1 chip)",
+        "person26 VGA 64-image batched throughput (1 chip)",
         1.0 / sec_b,
         "images/sec",
         sec_p / sec_b,
         baseline="single-image rate (batching gain)",
         microbatch=micro,
         note=(
-            "single-image program already keeps the chip ~95%+ "
-            "occupied, so batching can only amortize the residual "
-            "dispatch gap"
+            "async single-image dispatch + one pipelined readback; the "
+            "single-image program already keeps the chip ~95%+ occupied, "
+            "so fused vmap microbatching measures *slower* (vmap glue; "
+            "see tools/batch64_probe.py)"
         ),
     )
 

@@ -23,6 +23,33 @@ Public API mirrors the reference's surfaces: `PartsBasedDetector`
 
 __version__ = "0.1.0"
 
+
+def _enable_compile_cache() -> None:
+    """Turn on JAX's persistent compilation cache (warm builds of the
+    big detect programs take seconds instead of minutes).
+
+    The JAX in this environment ignores the JAX_COMPILATION_CACHE_DIR
+    env var (the cache stays 'disabled/not initialized'), so we apply
+    the config programmatically. Honors the env var for the directory;
+    PBD_COMPILE_CACHE=0 disables."""
+    import os
+
+    if os.environ.get("PBD_COMPILE_CACHE", "1") == "0":
+        return
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".jax_cache"),
+    )
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:
+        pass  # never let cache setup break imports
+
+
+_enable_compile_cache()
+
 from .types import Candidate, DetectionResult
 from .models import (
     Model,

@@ -186,6 +186,12 @@ class PartsBasedDetector:
             imv = validate_image(im, min_side=5 * self._packed.spec.sbin)
             fn = self._get_fn(imv.shape[:2])
             outs.append(fn(jnp.asarray(imv, self.dtype)))
+        # one pipelined device->host gather for ALL outputs: device_get
+        # starts every leaf's copy before waiting, so the per-output
+        # tunnel RTT overlaps with the still-running queue (serial
+        # np.asarray reads cost ~10 ms RTT *per image* on the tunneled
+        # backend — measured in tools/batch64_probe.py)
+        outs = jax.device_get(outs)
         results = []
         nbc = [c.nparts for c in self._packed.components]
         for out in outs:
@@ -217,15 +223,24 @@ class PartsBasedDetector:
         return self._fns[key]
 
     def detect_many(
-        self, images, microbatch: int = 4
+        self, images, microbatch: int = 1
     ) -> List[List[Candidate]]:
-        """High-throughput batch API: pads the request list to
-        microbatch multiples, streams fused vmap microbatches through
-        the chip with async dispatch, and syncs once."""
+        """High-throughput batch API: streams the request list through
+        the chip with async dispatch and one pipelined sync.
+
+        microbatch=1 (default) dispatches the single-image program per
+        image — measured fastest on one chip (43.4 img/s vs 39.9 for
+        the fused vmap at micro=8, tools/batch64_probe.py): the
+        single-image program already keeps the chip ~95%+ occupied, so
+        vmap only adds batched-gather glue (~2 ms/img). microbatch>1
+        compiles a fused vmap program instead — useful when the model
+        is small enough that per-image dispatch can't fill the chip."""
         from .utils.profiling import validate_image
 
         if len(images) == 0:
             return []
+        if microbatch == 1:
+            return self.detect_batch(images)
         imgs = [
             validate_image(im, min_side=5 * self._packed.spec.sbin)
             for im in images
@@ -246,10 +261,11 @@ class PartsBasedDetector:
                 np.stack(imgs[i : i + microbatch]), self.dtype
             )
             outs.append(fn(chunk))  # async dispatch, no host sync
+        outs = jax.device_get(outs)  # one pipelined readback (see detect_batch)
         nbc = [c.nparts for c in self._packed.components]
         results: List[List[Candidate]] = []
         for out in outs:
-            boxes, scores, comps, valid, mix = [np.asarray(o) for o in out]
+            boxes, scores, comps, valid, mix = out
             for j in range(boxes.shape[0]):
                 if len(results) == n:
                     break

@@ -106,6 +106,29 @@ def test_detect_batch_matches_single():
             assert abs(a.score - b.score) < 1e-6
 
 
+def test_detect_many_matches_single():
+    """detect_many in both dispatch modes: microbatch=1 (async
+    single-image programs + one pipelined readback — the measured-
+    fastest serving default, tools/batch64_probe.py) and microbatch=2
+    (fused vmap with request-list padding)."""
+    model = make_synthetic_model(
+        nparts=3, nmix=1, fsize=(4, 4), sbin=8, interval=2, thresh=-2.0, seed=70
+    )
+    rng = np.random.RandomState(0)
+    ims = [(rng.rand(90, 100, 3) * 255).astype(np.float32) for _ in range(3)]
+    det = PartsBasedDetector(model, max_detections=32)
+    singles = [det.detect(im) for im in ims]
+    for micro in (1, 2):  # 3 images, micro=2 exercises the pad path
+        got = det.detect_many(ims, microbatch=micro)
+        assert len(got) == len(ims)
+        for g, s in zip(got, singles):
+            assert len(g) == len(s)
+            for a, b in zip(g, s):
+                assert abs(a.score - b.score) < 1e-6
+                np.testing.assert_allclose(a.parts, b.parts, atol=1e-4)
+    assert det.detect_many([]) == []
+
+
 def test_detect_pallas_interpret_mode(monkeypatch):
     """Run the FULL pipeline through the Pallas DT kernels in
     interpreter mode on CPU — end-to-end coverage of the exact kernels
