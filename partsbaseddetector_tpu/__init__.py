@@ -31,7 +31,21 @@ def _enable_compile_cache() -> None:
     The JAX in this environment ignores the JAX_COMPILATION_CACHE_DIR
     env var (the cache stays 'disabled/not initialized'), so we apply
     the config programmatically. Honors the env var for the directory;
-    PBD_COMPILE_CACHE=0 disables."""
+    PBD_COMPILE_CACHE=0 disables.
+
+    Key stability: the cache key hashes the serialized program, and for
+    Pallas programs the Mosaic kernel payload embeds (a) source
+    locations of the frames that triggered kernel tracing and (b) MLIR
+    attribute interning order from the process's shared context. (a)
+    would make the key depend on the *calling script's* file/line — the
+    two traceback flags below strip it (measured: without them, moving
+    the call site by one line changes the key). (b) cannot be stripped
+    from outside: keys are therefore stable for a fixed program-build
+    order per process (a server that always builds the same programs in
+    the same order always hits), but a process that builds program B
+    after a different program A gets a different key for B than a
+    process building B alone. PBD_STABLE_CACHE_KEYS=0 keeps full
+    tracebacks in locations (better debug info, unstable keys)."""
     import os
 
     if os.environ.get("PBD_COMPILE_CACHE", "1") == "0":
@@ -44,6 +58,11 @@ def _enable_compile_cache() -> None:
         import jax
 
         jax.config.update("jax_compilation_cache_dir", cache_dir)
+        if os.environ.get("PBD_STABLE_CACHE_KEYS", "1") != "0":
+            jax.config.update("jax_traceback_in_locations_limit", 0)
+            jax.config.update(
+                "jax_include_full_tracebacks_in_locations", False
+            )
     except Exception:
         pass  # never let cache setup break imports
 

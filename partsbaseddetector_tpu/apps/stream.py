@@ -99,7 +99,7 @@ class DetectionStream:
         for cb in self._subs[topic]:
             cb(payload)
 
-    def process_stream(self, frames, lookahead: int = 2):
+    def process_stream(self, frames, lookahead: int = 2, workers: int = 1):
         """Pipelined frame loop: yields FrameResult per (rgb, depth[,
         cloud]) tuple with up to `lookahead` device programs in flight
         (detector.detect_stream), so device work overlaps the host
@@ -116,7 +116,9 @@ class DetectionStream:
         det_frames = [(rgb, depth) for rgb, depth, _ in norm]
         for (rgb, depth, cloud), candidates in zip(
             norm,
-            self.detector.detect_stream(det_frames, lookahead=lookahead),
+            self.detector.detect_stream(
+                det_frames, lookahead=lookahead, workers=workers
+            ),
         ):
             yield self._post(rgb, depth, cloud, candidates)
 

@@ -31,6 +31,25 @@ from .types import Candidate, DetectionResult
 NEG_INF = -jnp.inf
 
 
+def _upload(im: np.ndarray, dtype) -> jax.Array:
+    """Ship an image to the device in its narrowest exact wire format.
+
+    uint8 frames (the camera/reference demo format, src/demo.cpp:90-99)
+    go over the wire as uint8 — 4x fewer bytes than host-side float
+    conversion — and are cast to the compute dtype ON DEVICE
+    (pipeline.root_scores casts at program entry, so the uint8 program
+    is value-identical to the float one). On a tunneled accelerator the
+    per-frame wire transfer is a first-order serving cost (~50 ms for a
+    VGA f32 frame at the measured ~75 MB/s effective execute-path
+    bandwidth; tools/stream_probe.py). jax.device_put is used instead
+    of jnp.asarray — asarray's blocking transfer measured 2-3x slower
+    inside a dispatch pipeline."""
+    im = np.asarray(im)
+    if im.dtype == np.uint8:
+        return jax.device_put(im)
+    return jax.device_put(im.astype(np.dtype(dtype), copy=False))
+
+
 class PartsBasedDetector:
     """TPU-native flexible-mixtures-of-parts detector.
 
@@ -108,7 +127,7 @@ class PartsBasedDetector:
 
         im = validate_image(im, min_side=5 * self._packed.spec.sbin)
         fn = self._get_fn(im.shape[:2])
-        out = fn(jnp.asarray(im, self.dtype))
+        out = fn(_upload(im, self.dtype))
         # one pipelined device->host gather (device_get starts every
         # leaf's copy before waiting) instead of five serial reads —
         # on a tunneled backend each serial read pays a full RTT
@@ -122,7 +141,7 @@ class PartsBasedDetector:
             mixtures=mixtures,
         )
 
-    def detect_stream(self, frames, lookahead: int = 2):
+    def detect_stream(self, frames, lookahead: int = 2, workers: int = 1):
         """Pipelined streaming serving: yields List[Candidate] per frame.
 
         frames: iterable of rgb or (rgb, depth) pairs. Keeps up to
@@ -133,8 +152,15 @@ class PartsBasedDetector:
         which on a tunneled/remote accelerator leaves the chip idle for
         most of the wall clock; this is the ROS-node-shaped serving loop
         done right (ref: ros/Node.cpp:144-249 processes frames
-        sequentially on CPU where that cost model is fine)."""
+        sequentially on CPU where that cost model is fine).
+
+        workers=1 (default) runs readback + host post-processing on a
+        worker thread so they overlap the next frames' upload/dispatch
+        (the per-frame device_get is a ~23 ms serial host call on the
+        tunneled backend — tools/stream_probe.py); workers=0 runs them
+        inline. Output order is preserved either way."""
         from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
         from .utils.profiling import validate_image
 
@@ -160,19 +186,32 @@ class PartsBasedDetector:
                 )
             return cands
 
-        for frame in frames:
-            rgb, depth = (
-                frame if isinstance(frame, tuple) else (frame, None)
-            )
-            im = validate_image(rgb, min_side=5 * self._packed.spec.sbin)
-            if nbc is None:
-                nbc = [c.nparts for c in self._packed.components]
-            fn = self._get_fn(im.shape[:2])
-            pend.append((fn(jnp.asarray(im, self.dtype)), depth))
-            while len(pend) > lookahead:
-                yield finish(*pend.popleft())
-        while pend:
-            yield finish(*pend.popleft())
+        pool = ThreadPoolExecutor(max_workers=1) if workers else None
+        try:
+            for frame in frames:
+                rgb, depth = (
+                    frame if isinstance(frame, tuple) else (frame, None)
+                )
+                im = validate_image(
+                    rgb, min_side=5 * self._packed.spec.sbin
+                )
+                if nbc is None:
+                    nbc = [c.nparts for c in self._packed.components]
+                fn = self._get_fn(im.shape[:2])
+                out = fn(_upload(im, self.dtype))
+                pend.append(
+                    pool.submit(finish, out, depth) if pool
+                    else (out, depth)
+                )
+                while len(pend) > lookahead:
+                    head = pend.popleft()
+                    yield head.result() if pool else finish(*head)
+            while pend:
+                head = pend.popleft()
+                yield head.result() if pool else finish(*head)
+        finally:
+            if pool:
+                pool.shutdown(wait=False)
 
     def detect_batch(self, images) -> List[List[Candidate]]:
         """Throughput API: dispatch every image asynchronously through
@@ -185,7 +224,7 @@ class PartsBasedDetector:
 
             imv = validate_image(im, min_side=5 * self._packed.spec.sbin)
             fn = self._get_fn(imv.shape[:2])
-            outs.append(fn(jnp.asarray(imv, self.dtype)))
+            outs.append(fn(_upload(imv, self.dtype)))
         # one pipelined device->host gather for ALL outputs: device_get
         # starts every leaf's copy before waiting, so the per-output
         # tunnel RTT overlaps with the still-running queue (serial
@@ -257,9 +296,7 @@ class PartsBasedDetector:
         fn = self.detect_batch_fn(shape, microbatch)
         outs = []
         for i in range(0, len(imgs), microbatch):
-            chunk = jnp.asarray(
-                np.stack(imgs[i : i + microbatch]), self.dtype
-            )
+            chunk = _upload(np.stack(imgs[i : i + microbatch]), self.dtype)
             outs.append(fn(chunk))  # async dispatch, no host sync
         outs = jax.device_get(outs)  # one pipelined readback (see detect_batch)
         nbc = [c.nparts for c in self._packed.components]

@@ -102,7 +102,10 @@ def validate_image(im: np.ndarray, min_side: Optional[int] = None) -> np.ndarray
         raise ValueError(f"expected (H, W, 3) image, got shape {im.shape}")
     if im.shape[2] == 1:
         im = np.repeat(im, 3, axis=2)
-    if not np.isfinite(np.asarray(im, dtype=np.float64)).all():
+    # integer frames are always finite; floats are checked in their own
+    # dtype (a float64 copy of every VGA frame costs ~7 MB of churn in
+    # the serving loop for nothing)
+    if np.issubdtype(im.dtype, np.floating) and not np.isfinite(im).all():
         raise ValueError("image contains NaN/Inf")
     if min_side and min(im.shape[:2]) < min_side:
         raise ValueError(

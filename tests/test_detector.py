@@ -129,6 +129,27 @@ def test_detect_many_matches_single():
     assert det.detect_many([]) == []
 
 
+def test_detect_uint8_matches_float32():
+    """uint8 frames ship over the wire as uint8 and are cast to the
+    compute dtype on device — detections must be value-identical to
+    feeding the same pixels as float32 (the cast is exact)."""
+    model = make_synthetic_model(
+        nparts=3, nmix=2, fsize=(4, 4), sbin=8, interval=2, thresh=-2.0, seed=42
+    )
+    rng = np.random.RandomState(7)
+    im8 = (rng.rand(100, 110, 3) * 255).astype(np.uint8)
+    det = PartsBasedDetector(model, max_detections=32)
+    got8 = det.detect(im8)
+    gotf = det.detect(im8.astype(np.float32))
+    assert len(got8) == len(gotf) > 0
+    for a, b in zip(got8, gotf):
+        assert a.score == b.score
+        np.testing.assert_array_equal(a.parts, b.parts)
+    # streaming path accepts uint8 frames too
+    streamed = list(det.detect_stream([im8, im8]))
+    assert len(streamed) == 2 and len(streamed[0]) == len(got8)
+
+
 def test_detect_pallas_interpret_mode(monkeypatch):
     """Run the FULL pipeline through the Pallas DT kernels in
     interpreter mode on CPU — end-to-end coverage of the exact kernels
