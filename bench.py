@@ -238,7 +238,10 @@ def main():
     ]
     t0 = time.perf_counter()
     ncands = 0
-    for cands in det_d.detect_stream(frames, lookahead=2):
+    # readback_batch=2: one ~30 ms tunnel round trip per TWO frames
+    # (the RTT is size-independent — tools/stream_probe.py)
+    for cands in det_d.detect_stream(frames, lookahead=2,
+                                     readback_batch=2):
         ncands += len(cands)
     sec_d = (time.perf_counter() - t0) / iters_d
     cpu_p = native_cpu_baseline("person_native_cpu_sec", person, im)

@@ -141,7 +141,13 @@ class PartsBasedDetector:
             mixtures=mixtures,
         )
 
-    def detect_stream(self, frames, lookahead: int = 2, workers: int = 1):
+    def detect_stream(
+        self,
+        frames,
+        lookahead: int = 2,
+        workers: int = 1,
+        readback_batch: int = 1,
+    ):
         """Pipelined streaming serving: yields List[Candidate] per frame.
 
         frames: iterable of rgb or (rgb, depth) pairs. Keeps up to
@@ -155,38 +161,73 @@ class PartsBasedDetector:
         sequentially on CPU where that cost model is fine).
 
         workers=1 (default) runs readback + host post-processing on a
-        worker thread so they overlap the next frames' upload/dispatch
-        (the per-frame device_get is a ~23 ms serial host call on the
-        tunneled backend — tools/stream_probe.py); workers=0 runs them
-        inline. Output order is preserved either way."""
+        worker thread so they overlap the next frames' upload/dispatch;
+        workers=0 runs them inline. readback_batch groups that many
+        frames per device_get: on the tunneled backend one
+        dispatch+readback round trip costs ~30 ms *regardless of size*
+        (1 KB and 10 KB payloads measure the same; tools/stream_probe),
+        so reading k frames per call amortizes the RTT k-fold at the
+        cost of k-1 frames of extra latency for the earliest frame in
+        each group. Output order is preserved in every mode."""
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         from .utils.profiling import validate_image
 
         nbc = None
-        pend = deque()
+        pend = deque()  # futures (workers>0) or raw chunks, each = k frames
+        buf = []  # (out, depth) pairs not yet grouped into a chunk
+        ready = deque()  # per-frame results popped from finished chunks
 
-        def finish(out, depth):
-            boxes, scores, comps, valid, mixtures = jax.device_get(out)
-            res = DetectionResult(
-                boxes=boxes,
-                scores=scores,
-                components=comps,
-                valid=valid,
-                nparts_by_component=nbc,
-                mixtures=mixtures,
-            )
-            cands = res.to_candidates()
-            if depth is not None:
-                from .depth import filter_candidates_by_depth
-
-                cands = filter_candidates_by_depth(
-                    self._packed, cands, depth
+        def finish_chunk(chunk):
+            # ONE pipelined device_get over every output in the chunk
+            hosts = jax.device_get([out for out, _ in chunk])
+            results = []
+            for (out, depth), host in zip(chunk, hosts):
+                boxes, scores, comps, valid, mixtures = host
+                res = DetectionResult(
+                    boxes=boxes,
+                    scores=scores,
+                    components=comps,
+                    valid=valid,
+                    nparts_by_component=nbc,
+                    mixtures=mixtures,
                 )
-            return cands
+                cands = res.to_candidates()
+                if depth is not None:
+                    from .depth import filter_candidates_by_depth
+
+                    cands = filter_candidates_by_depth(
+                        self._packed, cands, depth
+                    )
+                results.append(cands)
+            return results
 
         pool = ThreadPoolExecutor(max_workers=1) if workers else None
+
+        def flush_buf():
+            if buf:
+                chunk = list(buf)
+                buf.clear()
+                pend.append(
+                    (
+                        len(chunk),
+                        pool.submit(finish_chunk, chunk)
+                        if pool
+                        else chunk,
+                    )
+                )
+
+        def pop_chunk():
+            n, payload = pend.popleft()
+            return payload.result() if pool else finish_chunk(payload)
+
+        def in_flight():
+            return len(buf) + sum(n for n, _ in pend)
+
+        # a full chunk must be able to form while another is reading
+        # back, else chunking degenerates to partial flushes
+        lookahead = max(lookahead, 2 * readback_batch)
         try:
             for frame in frames:
                 rgb, depth = (
@@ -198,17 +239,20 @@ class PartsBasedDetector:
                 if nbc is None:
                     nbc = [c.nparts for c in self._packed.components]
                 fn = self._get_fn(im.shape[:2])
-                out = fn(_upload(im, self.dtype))
-                pend.append(
-                    pool.submit(finish, out, depth) if pool
-                    else (out, depth)
-                )
-                while len(pend) > lookahead:
-                    head = pend.popleft()
-                    yield head.result() if pool else finish(*head)
+                buf.append((fn(_upload(im, self.dtype)), depth))
+                if len(buf) >= readback_batch:
+                    flush_buf()
+                while in_flight() > lookahead:
+                    if not pend:
+                        flush_buf()
+                    ready.extend(pop_chunk())
+                while ready:
+                    yield ready.popleft()
+            flush_buf()
             while pend:
-                head = pend.popleft()
-                yield head.result() if pool else finish(*head)
+                ready.extend(pop_chunk())
+            while ready:
+                yield ready.popleft()
         finally:
             if pool:
                 pool.shutdown(wait=False)

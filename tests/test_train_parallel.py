@@ -150,16 +150,25 @@ def test_stream_pipelined_matches_sync():
         )
         for _ in range(5)
     ]
-    streamed = list(det.detect_stream(frames, lookahead=2))
-    assert len(streamed) == len(frames)
-    for (rgb, depth), got in zip(frames, streamed):
-        want = det.detect(rgb, depth)
-        assert len(got) == len(want)
-        for g, w in zip(got, want):
-            assert g.score == w.score
-            np.testing.assert_array_equal(
-                np.asarray(g.parts), np.asarray(w.parts)
-            )
+    wants = [det.detect(rgb, depth) for rgb, depth in frames]
+    # every dispatch mode must yield identical per-frame results in
+    # order: inline, worker-thread, and chunked readback (5 frames with
+    # rb=2 exercises the partial final chunk)
+    for kw in (
+        dict(workers=0),
+        dict(workers=1),
+        dict(workers=1, readback_batch=2),
+        dict(workers=0, readback_batch=4),
+    ):
+        streamed = list(det.detect_stream(frames, lookahead=2, **kw))
+        assert len(streamed) == len(frames), kw
+        for want, got in zip(wants, streamed):
+            assert len(got) == len(want), kw
+            for g, w in zip(got, want):
+                assert g.score == w.score
+                np.testing.assert_array_equal(
+                    np.asarray(g.parts), np.asarray(w.parts)
+                )
 
     stream = DetectionStream(det)
     results = list(stream.process_stream(frames, lookahead=3))

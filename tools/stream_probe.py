@@ -67,14 +67,16 @@ def main():
         ("stream uint8+depth", [(f, depth + 0.01 * i)
                                 for i, f in enumerate(frames_8)]),
     ):
-        for workers in (0, 1):
+        for workers, rb in ((0, 1), (1, 1), (1, 2), (1, 4)):
             for rep in range(2):
                 t0 = time.perf_counter()
                 n = sum(len(c) for c in det.detect_stream(
-                    frames, lookahead=2, workers=workers))
+                    frames, lookahead=2, workers=workers,
+                    readback_batch=rb))
                 sec = (time.perf_counter() - t0) / N
-                print(f"{label} w{workers} rep{rep}: {sec*1e3:6.1f} "
-                      f"ms/frame ({1/sec:.1f} img/s), {n} cands")
+                print(f"{label} w{workers} rb{rb} rep{rep}: "
+                      f"{sec*1e3:6.1f} ms/frame ({1/sec:.1f} img/s), "
+                      f"{n} cands")
 
 
 if __name__ == "__main__":
