@@ -179,11 +179,25 @@ def main():
     nimg = 64
     if micro == 1:
         fn_b = det_p.detect_fn(IMSIZE)  # warm from config 2
+        # honest serving: 64 DISTINCT uint8 camera frames — each pays
+        # its wire transfer on the execute path (uint8 = 4x less wire
+        # than f32; tools/stream_probe.py). chip_rate below isolates
+        # pure chip throughput with a device-resident input.
+        frames64 = [
+            np.clip(im + float(i), 0, 255).astype(np.uint8)
+            for i in range(nimg)
+        ]
+        warm8 = fn_b(jax.device_put(frames64[0]))
+        jax.block_until_ready(warm8)
+        t0 = time.perf_counter()
+        outs = [fn_b(jax.device_put(f)) for f in frames64]
+        outs = jax.device_get(outs)
+        sec_b = (time.perf_counter() - t0) / nimg
         imd = jax.device_put(im)
         t0 = time.perf_counter()
         outs = [fn_b(imd) for _ in range(nimg)]
         outs = jax.device_get(outs)
-        sec_b = (time.perf_counter() - t0) / nimg
+        sec_chip = (time.perf_counter() - t0) / nimg
     else:
         bfn = det_p.detect_batch_fn(IMSIZE, micro)
         batch = jax.device_put(
@@ -197,6 +211,7 @@ def main():
         outs = [bfn(batch) for _ in range(nimg // micro)]
         outs = jax.device_get(outs)
         sec_b = (time.perf_counter() - t0) / nimg
+        sec_chip = sec_b
     emit(
         4,
         "person26 VGA 64-image batched throughput (1 chip)",
@@ -205,11 +220,14 @@ def main():
         sec_p / sec_b,
         baseline="single-image rate (batching gain)",
         microbatch=micro,
+        chip_rate_resident_input=round(1.0 / sec_chip, 3),
         note=(
-            "async single-image dispatch + one pipelined readback; the "
-            "single-image program already keeps the chip ~95%+ occupied, "
-            "so fused vmap microbatching measures *slower* (vmap glue; "
-            "see tools/batch64_probe.py)"
+            "64 distinct uint8 frames, async single-image dispatch + one "
+            "pipelined readback (each fresh frame pays its wire transfer "
+            "on the tunneled execute path); chip_rate_resident_input "
+            "isolates pure chip throughput. Fused vmap microbatching "
+            "measures slower — the chip is already ~95%+ occupied by one "
+            "image (tools/batch64_probe.py)"
         ),
     )
 
