@@ -98,7 +98,11 @@ def _median_depth(depth: np.ndarray, box) -> float:
     vals = region[np.isfinite(region)]
     if vals.size == 0:
         return 0.0
-    return float(np.median(vals))
+    # the reference takes the element at index n/2 via nth_element — the
+    # UPPER middle for even counts, no averaging (include/Math.hpp:62-72);
+    # np.partition reproduces it exactly (and skips np.median's average)
+    k = vals.size // 2
+    return float(np.partition(vals, k)[k])
 
 
 def filter_candidates_by_depth(

@@ -91,6 +91,26 @@ def test_filter_candidates_by_depth():
     )
 
 
+def test_median_depth_upper_middle():
+    """The reference median is the element at index n/2 via nth_element
+    (include/Math.hpp:62-72) — the UPPER middle for even counts, never
+    an average of the two middle values."""
+    from partsbaseddetector_tpu.depth import _median_depth
+
+    depth = np.array([[1.0, 2.0], [3.0, 10.0]], dtype=np.float32)
+    # 4 finite values sorted [1, 2, 3, 10] -> index 2 -> 3.0 (np.median
+    # would give 2.5)
+    assert _median_depth(depth, (0, 0, 2, 2)) == 3.0
+    # odd count: the plain middle element
+    depth3 = np.array([[5.0, 1.0, 9.0]], dtype=np.float32)
+    assert _median_depth(depth3, (0, 0, 3, 1)) == 5.0
+    # NaN treated as missing (intended behavior; the reference feeds
+    # NaNs straight into nth_element) -> [1, 2, 3], middle = 2
+    depth_nan = depth.copy()
+    depth_nan[1, 1] = np.nan
+    assert _median_depth(depth_nan, (0, 0, 2, 2)) == 2.0
+
+
 def test_bounding_box_3d():
     depth = np.full((60, 60), 2.0, dtype=np.float32)
     cand = _two_part_candidate()
