@@ -189,6 +189,8 @@ def main():
         ]
         warm8 = fn_b(jax.device_put(frames64[0]))
         jax.block_until_ready(warm8)
+        _ = np.asarray(warm8[1])  # real host read: block_until_ready
+        # can return early on the tunneled backend (see time_fn)
         t0 = time.perf_counter()
         outs = [fn_b(jax.device_put(f)) for f in frames64]
         outs = jax.device_get(outs)
@@ -212,6 +214,21 @@ def main():
         outs = jax.device_get(outs)
         sec_b = (time.perf_counter() - t0) / nimg
         sec_chip = sec_b
+    note_b = (
+        (
+            "64 distinct uint8 frames, async single-image dispatch + one "
+            "pipelined readback (each fresh frame pays its wire transfer "
+            "on the tunneled execute path); chip_rate_resident_input "
+            "isolates pure chip throughput. Fused vmap microbatching "
+            "measures slower — the chip is already ~95%+ occupied by one "
+            "image (tools/batch64_probe.py)"
+        )
+        if micro == 1
+        else (
+            "fused vmap program over one repeated device-resident f32 "
+            f"microbatch of {micro} (opt-in via PBD_BENCH_MICROBATCH)"
+        )
+    )
     emit(
         4,
         "person26 VGA 64-image batched throughput (1 chip)",
@@ -221,14 +238,7 @@ def main():
         baseline="single-image rate (batching gain)",
         microbatch=micro,
         chip_rate_resident_input=round(1.0 / sec_chip, 3),
-        note=(
-            "64 distinct uint8 frames, async single-image dispatch + one "
-            "pipelined readback (each fresh frame pays its wire transfer "
-            "on the tunneled execute path); chip_rate_resident_input "
-            "isolates pure chip throughput. Fused vmap microbatching "
-            "measures slower — the chip is already ~95%+ occupied by one "
-            "image (tools/batch64_probe.py)"
-        ),
+        note=note_b,
     )
 
     # ---- config 5: RGB-D depth-consistency rescoring ---------------------

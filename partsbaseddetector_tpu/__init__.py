@@ -57,6 +57,18 @@ def _enable_compile_cache() -> None:
     try:
         import jax
 
+        # skip the cache on the CPU platform: XLA:CPU AOT entries load
+        # with a machine-feature mismatch warning ("could lead to
+        # SIGILL") on this host, and CPU compiles are fast anyway. Read
+        # jax.config (not the env var): it carries the env default AND
+        # the runtime overrides the test suite / multichip dryrun apply
+        # via jax.config.update before importing this package.
+        # jax_platforms is a priority list (e.g. "axon,cpu" with cpu as
+        # the fallback) — only a cpu PRIMARY means the process actually
+        # runs on CPU
+        plat = str(jax.config.jax_platforms or "")
+        if plat.split(",")[0].strip().lower() == "cpu":
+            return
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         if os.environ.get("PBD_STABLE_CACHE_KEYS", "1") != "0":
             jax.config.update("jax_traceback_in_locations_limit", 0)

@@ -162,13 +162,21 @@ class PartsBasedDetector:
 
         workers=1 (default) runs readback + host post-processing on a
         worker thread so they overlap the next frames' upload/dispatch;
-        workers=0 runs them inline. readback_batch groups that many
+        workers=N uses N threads (chunks process concurrently, FIFO
+        future consumption keeps output order); workers=0 runs them
+        inline. readback_batch groups that many
         frames per device_get: on the tunneled backend one
         dispatch+readback round trip costs ~30 ms *regardless of size*
         (1 KB and 10 KB payloads measure the same; tools/stream_probe),
         so reading k frames per call amortizes the RTT k-fold at the
         cost of k-1 frames of extra latency for the earliest frame in
-        each group. Output order is preserved in every mode."""
+        each group. readback_batch>1 raises the effective lookahead to
+        2k so a full chunk can form while another reads back — each
+        in-flight program holds device workspace, so memory-constrained
+        callers should size readback_batch accordingly; with the
+        default readback_batch=1 the caller's lookahead (including 0 =
+        fully synchronous) is honored exactly. Output order is
+        preserved in every mode."""
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
@@ -203,7 +211,7 @@ class PartsBasedDetector:
                 results.append(cands)
             return results
 
-        pool = ThreadPoolExecutor(max_workers=1) if workers else None
+        pool = ThreadPoolExecutor(max_workers=workers) if workers else None
 
         def flush_buf():
             if buf:
@@ -226,8 +234,11 @@ class PartsBasedDetector:
             return len(buf) + sum(n for n, _ in pend)
 
         # a full chunk must be able to form while another is reading
-        # back, else chunking degenerates to partial flushes
-        lookahead = max(lookahead, 2 * readback_batch)
+        # back, else chunking degenerates to partial flushes; with the
+        # default readback_batch=1 the caller's lookahead (incl. 0) is
+        # honored exactly
+        if readback_batch > 1:
+            lookahead = max(lookahead, 2 * readback_batch)
         try:
             for frame in frames:
                 rgb, depth = (

@@ -102,11 +102,18 @@ def validate_image(im: np.ndarray, min_side: Optional[int] = None) -> np.ndarray
         raise ValueError(f"expected (H, W, 3) image, got shape {im.shape}")
     if im.shape[2] == 1:
         im = np.repeat(im, 3, axis=2)
-    # integer frames are always finite; floats are checked in their own
-    # dtype (a float64 copy of every VGA frame costs ~7 MB of churn in
-    # the serving loop for nothing)
-    if np.issubdtype(im.dtype, np.floating) and not np.isfinite(im).all():
-        raise ValueError("image contains NaN/Inf")
+    # integer/bool frames are always finite; floats are checked in
+    # their own dtype (a float64 copy of every VGA frame costs ~7 MB of
+    # churn in the serving loop for nothing); anything else (complex,
+    # object, ...) is rejected outright — the old float64 cast raised
+    # for those, and silently dropping imaginary parts would be worse
+    if np.issubdtype(im.dtype, np.floating):
+        if not np.isfinite(im).all():
+            raise ValueError("image contains NaN/Inf")
+    elif not (
+        np.issubdtype(im.dtype, np.integer) or im.dtype == np.bool_
+    ):
+        raise ValueError(f"unsupported image dtype: {im.dtype}")
     if min_side and min(im.shape[:2]) < min_side:
         raise ValueError(
             f"image side {min(im.shape[:2])} below minimum {min_side}"

@@ -150,6 +150,35 @@ def test_detect_uint8_matches_float32():
     assert len(streamed) == 2 and len(streamed[0]) == len(got8)
 
 
+def test_validate_image_rejects_bad_dtypes():
+    from partsbaseddetector_tpu.utils.profiling import validate_image
+
+    import pytest
+
+    ok = validate_image(np.zeros((60, 60, 3), np.uint8))
+    assert ok.dtype == np.uint8
+    with pytest.raises(ValueError, match="dtype"):
+        validate_image(np.zeros((60, 60, 3), np.complex128))
+    with pytest.raises(ValueError, match="NaN"):
+        validate_image(np.full((60, 60, 3), np.nan, np.float32))
+
+
+def test_detect_stream_lookahead_zero_synchronous():
+    """lookahead=0 with the default readback_batch=1 must be honored
+    exactly (fully synchronous — at most one program in flight)."""
+    model = make_synthetic_model(
+        nparts=3, nmix=1, fsize=(4, 4), sbin=8, interval=2, thresh=-2.0, seed=70
+    )
+    rng = np.random.RandomState(0)
+    ims = [(rng.rand(90, 100, 3) * 255).astype(np.float32) for _ in range(3)]
+    det = PartsBasedDetector(model, max_detections=32)
+    singles = [det.detect(im) for im in ims]
+    got = list(det.detect_stream(ims, lookahead=0, workers=0))
+    assert len(got) == len(ims)
+    for g, s in zip(got, singles):
+        assert [c.score for c in g] == [c.score for c in s]
+
+
 def test_detect_pallas_interpret_mode(monkeypatch):
     """Run the FULL pipeline through the Pallas DT kernels in
     interpreter mode on CPU — end-to-end coverage of the exact kernels
