@@ -457,6 +457,46 @@ void pbd_paint_nms(const double* boxes, int64_t n, int64_t im_h, int64_t im_w,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Batched median part depths (ref: include/Math.hpp:62-72 — nth_element
+// at n/2, the UPPER middle for even counts, no averaging;
+// src/SearchSpacePruning.cpp:73-95 calls it per candidate part box).
+// depth (h, w) f32; boxes (n, 4) [x1 y1 x2 y2] inclusive pixel coords.
+// out[i] = median of the finite depths inside the clipped box, 0 when
+// the clipped box or its finite subset is empty. Clipping matches the
+// Python fallback bit for bit: max/min in double, then truncation.
+// ---------------------------------------------------------------------------
+
+void pbd_box_medians(const float* depth, int64_t h, int64_t w,
+                     const double* boxes, int64_t n, double* out) {
+#pragma omp parallel
+  {
+    std::vector<float> vals;
+#pragma omp for
+    for (int64_t i = 0; i < n; ++i) {
+      const double* b = boxes + 4 * i;
+      const int64_t x1 = (int64_t)std::max(b[0], 0.0);
+      const int64_t y1 = (int64_t)std::max(b[1], 0.0);
+      const int64_t x2 = (int64_t)std::min(b[2] + 1.0, (double)w);
+      const int64_t y2 = (int64_t)std::min(b[3] + 1.0, (double)h);
+      out[i] = 0.0;
+      if (x2 <= x1 || y2 <= y1) continue;
+      vals.clear();
+      for (int64_t y = y1; y < y2; ++y) {
+        const float* row = depth + y * w;
+        for (int64_t x = x1; x < x2; ++x) {
+          const float v = row[x];
+          if (std::isfinite(v)) vals.push_back(v);
+        }
+      }
+      if (vals.empty()) continue;
+      const size_t k = vals.size() / 2;
+      std::nth_element(vals.begin(), vals.begin() + k, vals.end());
+      out[i] = (double)vals[k];
+    }
+  }
+}
+
 int64_t pbd_version(void) { return 1; }
 
 }  // extern "C"

@@ -105,6 +105,28 @@ def _median_depth(depth: np.ndarray, box) -> float:
     return float(np.partition(vals, k)[k])
 
 
+def _batch_medians(depth: np.ndarray, boxes: List) -> np.ndarray:
+    """Medians for many boxes in one call. In the streaming serving loop
+    these medians were the dominant host cost (~11 ms/frame at 16
+    candidates x 26 parts as 416 per-box Python partitions); the native
+    kernel (pbd_box_medians) computes the identical nth_element-at-n/2
+    value for all boxes in one pass."""
+    if not len(boxes):
+        return np.zeros(0, dtype=np.float64)
+    if depth.ndim == 2 and depth.dtype == np.float32:
+        from . import native
+
+        if native.available():
+            return native.box_medians(depth, np.asarray(boxes, np.float64))
+    return np.array([_median_depth(depth, b) for b in boxes], dtype=np.float64)
+
+
+def _anchor_norms(comp) -> np.ndarray:
+    """||anchor|| per non-root part (parts 1..nparts-1)."""
+    a = comp.anchor[1:, 0, :2].astype(np.float64)
+    return np.linalg.norm(a, axis=1)
+
+
 def filter_candidates_by_depth(
     packed: PackedModel,
     candidates: List[Candidate],
@@ -114,22 +136,32 @@ def filter_candidates_by_depth(
     """Keep candidates whose child/parent median part depths differ by
     less than ||anchor|| * zfactor (src/SearchSpacePruning.cpp:73-95).
     Zero/NaN medians are treated as unknown and pass."""
-    out: List[Candidate] = []
+    if not candidates:
+        return []
+    # one median per (candidate, part), all in one batched call
+    boxes: List = []
     for cand in candidates:
         comp = packed.components[cand.component]
-        ok = True
-        # one median per part (a parent's median is otherwise recomputed
-        # for each of its children — the medians dominate this filter)
-        med = [_median_depth(depth, cand.parts[p]) for p in range(comp.nparts)]
-        for p in range(comp.nparts - 1, 0, -1):
-            anchor = comp.anchor[p, 0, :2].astype(np.float64)
-            cmed = med[p]
-            pmed = med[int(comp.parentid[p])]
-            if cmed > 0 and pmed > 0:
-                if abs(cmed - pmed) > np.linalg.norm(anchor) * zfactor:
-                    ok = False
-                    break
-        if ok:
+        boxes.extend(cand.parts[p] for p in range(comp.nparts))
+    med_flat = _batch_medians(depth, boxes)
+
+    out: List[Candidate] = []
+    norms = {}
+    off = 0
+    for cand in candidates:
+        comp = packed.components[cand.component]
+        med = med_flat[off : off + comp.nparts]
+        off += comp.nparts
+        if cand.component not in norms:
+            norms[cand.component] = _anchor_norms(comp)
+        cmed = med[1:]
+        pmed = med[comp.parentid[1:].astype(np.int64)]
+        bad = (
+            (cmed > 0)
+            & (pmed > 0)
+            & (np.abs(cmed - pmed) > norms[cand.component] * zfactor)
+        )
+        if not bad.any():
             out.append(cand)
     return out
 
@@ -141,14 +173,16 @@ def depth_consistency_score(
     empty stub): mean absolute child-parent depth gap normalized by
     anchor length; 0 = perfectly rigid, larger = less consistent."""
     comp = packed.components[cand.component]
-    gaps = []
-    for p in range(1, comp.nparts):
-        anchor = comp.anchor[p, 0, :2].astype(np.float64)
-        cmed = _median_depth(depth, cand.parts[p])
-        pmed = _median_depth(depth, cand.parts[int(comp.parentid[p])])
-        if cmed > 0 and pmed > 0:
-            gaps.append(abs(cmed - pmed) / max(np.linalg.norm(anchor), 1e-6))
-    return float(np.mean(gaps)) if gaps else 0.0
+    med = _batch_medians(
+        depth, [cand.parts[p] for p in range(comp.nparts)]
+    )
+    cmed = med[1:]
+    pmed = med[comp.parentid[1:].astype(np.int64)]
+    norms = np.maximum(_anchor_norms(comp), 1e-6)
+    sel = (cmed > 0) & (pmed > 0)
+    if not sel.any():
+        return 0.0
+    return float(np.mean(np.abs(cmed - pmed)[sel] / norms[sel]))
 
 
 def plausible_depth_mask(

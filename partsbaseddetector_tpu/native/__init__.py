@@ -82,6 +82,7 @@ def _load() -> Optional[ctypes.CDLL]:
             f64p, i32p, i32p, i64, i64, f64p, i64, f64p, i32p, i32p, i32p,
         ]
         lib.pbd_paint_nms.argtypes = [f64p, i64, i64, i64, ctypes.c_double, u8p]
+        lib.pbd_box_medians.argtypes = [f32p, i64, i64, f64p, i64, f64p]
         lib.pbd_version.restype = ctypes.c_int64
         _lib = lib
         return _lib
@@ -176,6 +177,20 @@ def fconv_bank(feat: np.ndarray, filters) -> list:
         for j, i in enumerate(idxs):
             outs[i] = res[j]
     return outs
+
+
+def box_medians(depth: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """Median finite depth per box (N, 4) [x1 y1 x2 y2] inclusive coords;
+    the reference's nth_element-at-n/2 semantics (include/Math.hpp:62-72),
+    batched over the boxes of every candidate/part in one call."""
+    lib = _load()
+    depth = np.ascontiguousarray(depth, dtype=np.float32)
+    boxes = np.ascontiguousarray(boxes, dtype=np.float64).reshape(-1, 4)
+    out = np.empty(len(boxes), dtype=np.float64)
+    lib.pbd_box_medians(
+        depth, depth.shape[0], depth.shape[1], boxes, len(boxes), out
+    )
+    return out
 
 
 def paint_nms(boxes: np.ndarray, im_shape, overlap: float = 0.0) -> np.ndarray:

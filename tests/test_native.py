@@ -58,3 +58,24 @@ def test_native_paint_nms():
     )
     keep = native.paint_nms(boxes, (200, 200), overlap=0.2)
     np.testing.assert_array_equal(keep, [True, False, True])
+
+
+def test_native_box_medians():
+    """pbd_box_medians == the per-box Python median (_median_depth) on
+    random boxes including off-image, empty, NaN/inf-laden regions."""
+    from partsbaseddetector_tpu.depth import _median_depth
+
+    rng = np.random.RandomState(3)
+    depth = rng.rand(37, 53).astype(np.float32) * 4.0
+    depth[rng.rand(37, 53) < 0.1] = np.nan
+    depth[rng.rand(37, 53) < 0.05] = np.inf
+    boxes = []
+    for _ in range(200):
+        x1, y1 = rng.uniform(-10, 55), rng.uniform(-10, 40)
+        boxes.append([x1, y1, x1 + rng.uniform(-2, 20), y1 + rng.uniform(-2, 20)])
+    boxes.append([-5.0, -5.0, -1.5, -1.5])  # fully off-image
+    boxes.append([10.2, 10.7, 10.2, 10.7])  # single pixel
+    boxes = np.asarray(boxes, dtype=np.float64)
+    got = native.box_medians(depth, boxes)
+    want = np.array([_median_depth(depth, b) for b in boxes])
+    np.testing.assert_array_equal(got, want)
