@@ -258,17 +258,27 @@ def main():
     # depth-consistency filter overlap across frames (the synchronous
     # detect() serializes all four per call — on the tunneled backend
     # that idles the chip for most of the wall clock)
-    iters_d = 10
+    iters_d = 20  # pipeline ramps over the first `lookahead` frames
     frames = [
         (np.clip(im + float(i), 0, 255).astype(np.uint8),
          depth + 0.01 * i)
         for i in range(iters_d)
     ]
+    # one throwaway pass: the first stream pays worker-thread spin-up
+    # and allocator warm-up (~6 ms/frame measured), which is not part
+    # of steady-state serving
+    for _ in det_d.detect_stream(frames[:8], lookahead=4, workers=2,
+                                 readback_batch=2):
+        pass
     t0 = time.perf_counter()
     ncands = 0
     # readback_batch=2: one ~30 ms tunnel round trip per TWO frames
-    # (the RTT is size-independent — tools/stream_probe.py)
-    for cands in det_d.detect_stream(frames, lookahead=2,
+    # (the RTT is size-independent — tools/stream_probe.py);
+    # lookahead=4 + a second worker keep enough programs in flight to
+    # hide the remaining RTT (knob grid measured in tools/stream_tune.py:
+    # 28.2 img/s at la=2/w=1/rb=2 -> 38.6 at la=4/w=2/rb=2, within noise
+    # of rb=4 but at half the readback-group latency)
+    for cands in det_d.detect_stream(frames, lookahead=4, workers=2,
                                      readback_batch=2):
         ncands += len(cands)
     sec_d = (time.perf_counter() - t0) / iters_d
