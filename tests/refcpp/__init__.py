@@ -1,0 +1,168 @@
+"""End-to-end oracle: the reference's ACTUAL C++ inference pipeline.
+
+Compiles /root/reference/src/{filter,HOGFeatures,SpatialConvolutionEngine,
+DynamicProgram,PartsBasedDetector,FileStorageModel,nms}.cpp in place
+(read-only tree, never copied) against the installed OpenCV 4.6, behind
+two shims (compat.h forces the vendored-FilterEngine version guard on
+and maps removed C-API error macros; boost/scoped_ptr.hpp stands in for
+the absent boost), links the pbd_ref_oracle binary, and exposes
+``detect(model_xml, image_uint8)`` returning the reference pipeline's
+candidate set so tests can compare full detect() outputs — not just
+kernels — against the real reference code.
+
+If the reference tree, a compiler, or the OpenCV dev libraries are
+missing, ``available()`` returns False and dependent tests skip.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REF_SRC = "/root/reference/src"
+_REF_INC = "/root/reference/include"
+_OCV_INC = "/usr/include/opencv4"
+_BIN = os.path.join(_HERE, "pbd_ref_oracle")
+# SpatialConvolutionEngine.cpp is NOT compiled from the reference: its
+# OpenCV-3 branch passes a Size(-1,-1) sentinel the vendored
+# FilterEngine asserts on (broken as shipped); spatialconv_impl.cpp in
+# this directory provides the intended semantics against the
+# reference's own header + vendored engine.
+_TUS = [
+    "filter.cpp",
+    "HOGFeatures.cpp",
+    "DynamicProgram.cpp",
+    "PartsBasedDetector.cpp",
+    "FileStorageModel.cpp",
+    "nms.cpp",
+]
+_LOCAL_TUS = ["spatialconv_impl.cpp", "oracle_main.cpp"]
+_lock = threading.Lock()
+_state: Optional[bool] = None
+
+
+def _build() -> bool:
+    if not (os.path.isdir(_REF_SRC) and os.path.isdir(_OCV_INC)):
+        return False
+    objs = []
+    try:
+        common = [
+            "-include", os.path.join(_HERE, "compat.h"),
+            "-I", _HERE, "-I", _REF_SRC, "-I", _REF_INC, "-I", _OCV_INC,
+            "-O1", "-fopenmp", "-w", "-std=c++14",
+        ]
+        for src in _TUS + _LOCAL_TUS:
+            path = (
+                os.path.join(_HERE, src)
+                if src in _LOCAL_TUS
+                else os.path.join(_REF_SRC, src)
+            )
+            obj = os.path.join(_HERE, src.replace(".cpp", ".o"))
+            subprocess.run(
+                ["g++", *common, "-c", path, "-o", obj],
+                check=True, capture_output=True, timeout=600,
+            )
+            objs.append(obj)
+        subprocess.run(
+            ["g++", "-fopenmp", *objs, "-o", _BIN,
+             "-lopencv_core", "-lopencv_imgproc"],
+            check=True, capture_output=True, timeout=300,
+        )
+        return True
+    except Exception:
+        return False
+    finally:
+        for obj in objs:
+            if os.path.exists(obj):
+                os.remove(obj)
+
+
+def available() -> bool:
+    global _state
+    with _lock:
+        if _state is None:
+            _state = os.path.exists(_BIN) or _build()
+        return _state
+
+
+def _write_raw(path: str, image: np.ndarray) -> None:
+    image = np.ascontiguousarray(image)
+    if image.dtype != np.uint8 or image.ndim != 3 or image.shape[2] != 3:
+        raise ValueError("oracle expects (H, W, 3) uint8")
+    with open(path, "wb") as f:
+        f.write(np.asarray(image.shape, dtype=np.int32).tobytes())
+        f.write(image.tobytes())
+
+
+def hog_pyramid(
+    image: np.ndarray, sbin: int, interval: int, out_path: str
+) -> List[np.ndarray]:
+    """Run the reference HOGFeatures<float>::pyramid on `image`.
+
+    Returns one (rows, cols) float32 array per scale, fine to coarse,
+    with cols = Wc*32 interleaved (the reference's 2-D feature layout,
+    src/HOGFeatures.cpp:157-160). image must be (H, W, 3) uint8 in the
+    C++ demo's native BGR channel order.
+    """
+    if not available():
+        raise RuntimeError("reference C++ oracle unavailable")
+    raw = os.path.join(_HERE, f"_oracle_im_{os.getpid()}.raw")
+    try:
+        _write_raw(raw, image)
+        subprocess.run(
+            [_BIN, "--hog", raw, str(sbin), str(interval), out_path],
+            check=True, capture_output=True, timeout=600,
+        )
+    finally:
+        if os.path.exists(raw):
+            os.remove(raw)
+    with open(out_path, "rb") as f:
+        data = f.read()
+    ns = int(np.frombuffer(data[:4], np.int32)[0])
+    off = 4
+    feats = []
+    for _ in range(ns):
+        r, c = (int(v) for v in np.frombuffer(data[off : off + 8], np.int32))
+        off += 8
+        feats.append(
+            np.frombuffer(data[off : off + r * c * 4], np.float32).reshape(r, c)
+        )
+        off += r * c * 4
+    return feats
+
+
+def detect(
+    model_xml: str, image: np.ndarray
+) -> List[Tuple[int, float, np.ndarray]]:
+    """Run the reference C++ detect() on (model, image).
+
+    image: (H, W, 3) uint8. Returns [(component, root_score,
+    boxes int32 (nparts, 4) as x,y,w,h), ...] sorted by descending
+    score — the exact candidate set src/demo.cpp would print.
+    """
+    if not available():
+        raise RuntimeError("reference C++ oracle unavailable")
+    raw = os.path.join(_HERE, f"_oracle_im_{os.getpid()}.raw")
+    try:
+        _write_raw(raw, image)
+        out = subprocess.run(
+            [_BIN, model_xml, raw],
+            check=True, capture_output=True, timeout=600, text=True,
+        ).stdout.splitlines()
+    finally:
+        if os.path.exists(raw):
+            os.remove(raw)
+    n = int(out[0])
+    results = []
+    for line in out[1 : 1 + n]:
+        vals = line.split()
+        comp = int(vals[0])
+        score = float(vals[1])
+        boxes = np.asarray(vals[2:], dtype=np.int32).reshape(-1, 4)
+        results.append((comp, score, boxes))
+    return results
