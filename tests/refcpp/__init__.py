@@ -136,6 +136,22 @@ def hog_pyramid(
     return feats
 
 
+def dump_indexers(model_xml: str) -> str:
+    """Return the index tables the reference's FileStorageModel ACTUALLY
+    parsed from `model_xml` (one `component c part p parent i filterid
+    ... defid ... biasid ...` line per part). Used to pin the
+    reference's defid-parsing defect: src/FileStorageModel.cpp:148-152
+    replaces any non-scalar defid list with the single entry 0, so
+    multi-mixture models load with every part aliasing defs[0] and
+    mixtures >= 1 indexing out of bounds."""
+    if not available():
+        raise RuntimeError("reference C++ oracle unavailable")
+    return subprocess.run(
+        [_BIN, "--dump", model_xml],
+        check=True, capture_output=True, timeout=600, text=True,
+    ).stdout
+
+
 def detect(
     model_xml: str, image: np.ndarray
 ) -> List[Tuple[int, float, np.ndarray]]:

@@ -65,8 +65,34 @@ static int hogMode(int argc, char** argv) {
   return 0;
 }
 
+// Dump mode: pbd_ref_oracle --dump model.xml
+// Prints the index tables FileStorageModel ACTUALLY parsed, one part
+// per line: "part <p> parent <id> filterid <...> defid <...> biasid
+// <...>" — used to pin the reference's defid-parsing defect
+// (src/FileStorageModel.cpp:148-152 replaces any non-scalar defid list
+// with the single entry 0).
+static int dumpMode(int argc, char** argv) {
+  if (argc < 3) return 2;
+  FileStorageModel model;
+  if (!model.deserialize(argv[2])) return 3;
+  for (size_t c = 0; c < model.filterid().size(); ++c) {
+    for (size_t p = 0; p < model.filterid()[c].size(); ++p) {
+      std::printf("component %zu part %zu parent %d filterid", c, p,
+                  model.parentid()[c][p]);
+      for (int v : model.filterid()[c][p]) std::printf(" %d", v);
+      std::printf(" defid");
+      for (int v : model.defid()[c][p]) std::printf(" %d", v);
+      std::printf(" biasid");
+      for (int v : model.biasid()[c][p]) std::printf(" %d", v);
+      std::printf("\n");
+    }
+  }
+  return 0;
+}
+
 int main(int argc, char** argv) {
   if (argc >= 2 && std::strcmp(argv[1], "--hog") == 0) return hogMode(argc, argv);
+  if (argc >= 2 && std::strcmp(argv[1], "--dump") == 0) return dumpMode(argc, argv);
   if (argc < 3) {
     std::fprintf(stderr, "usage: %s model.xml image.raw\n", argv[0]);
     return 2;

@@ -32,9 +32,18 @@ Semantics pinned here (and their reference anchors):
 
 Known reference defects verified while building the oracle (not
 replicated): single-part models crash the C++ DP (empty ncscores at
-the root-bias step, src/DynamicProgram.cpp:162-171), and the root bias
+the root-bias step, src/DynamicProgram.cpp:162-171); the root bias
 is broadcast from bias(0)[0] across all root mixtures (:165) instead
-of per-mixture as MATLAB does (detect_fast.m:46-48).
+of per-mixture as MATLAB does (detect_fast.m:46-48); and the XML
+reader DESTROYS multi-mixture deformation indexing — a non-scalar
+defid list is replaced by the single entry 0
+(src/FileStorageModel.cpp:148-152), so every part aliases
+defs[0]/anchors[0] for mixture 0 and mixtures >= 1 index out of
+bounds (observed as garbage scores or segfaults). That last defect is
+why the e2e comparisons here use nmix=1 models: the reference binary
+cannot faithfully load a multi-mixture model through its XML path at
+all (test_reference_xml_reader_drops_multimixture_defid pins the
+evidence).
 """
 
 import os
@@ -156,6 +165,45 @@ def test_root_scoremap_matches_reference_cpp(tmp_path):
     assert set(ref) == set(ours)
     for k, s in ref.items():
         assert abs(ours[k] - s) < 1e-5, (k, ours[k], s)
+
+
+def test_reference_xml_reader_drops_multimixture_defid(tmp_path):
+    """Living evidence for the defid defect (module docstring): the
+    reference's own reader parses a 2-mixture model's per-part defid
+    lists as the single entry 0, while scalar (1-mixture) defids parse
+    faithfully. Our reader keeps the full tables (test_models.py), so
+    this is a documented reference defect, not replicated."""
+    xml = str(tmp_path / "mix2.xml")
+    model = make_synthetic_model(
+        nparts=3, nmix=2, fsize=(3, 3), sbin=8, interval=1, thresh=-1.0,
+        seed=2, chain=True,
+    )
+    FileStorageModel.write(model, xml)
+    lines = refcpp.dump_indexers(xml).strip().splitlines()
+    assert len(lines) == 3
+    for p, line in enumerate(lines):
+        toks = line.split()
+        d0 = toks.index("defid")
+        b0 = toks.index("biasid")
+        assert toks[d0 + 1 : b0] == ["0"], line  # list defid -> [0]
+        # filterid/biasid survive: the defect is defid-specific
+        f0 = toks.index("filterid")
+        want_fid = [str(int(v)) for v in model.filterid[0][p]]
+        assert toks[f0 + 1 : d0] == want_fid, line
+
+    xml1 = str(tmp_path / "mix1.xml")
+    model1 = make_synthetic_model(
+        nparts=3, nmix=1, fsize=(3, 3), sbin=8, interval=1, thresh=-1.0,
+        seed=2, chain=True,
+    )
+    FileStorageModel.write(model1, xml1)
+    lines1 = refcpp.dump_indexers(xml1).strip().splitlines()
+    for p, line in enumerate(lines1):
+        toks = line.split()
+        d0 = toks.index("defid")
+        b0 = toks.index("biasid")
+        want_did = [str(int(v)) for v in model1.defid[0][p]]
+        assert toks[d0 + 1 : b0] == want_did, line  # scalar defid survives
 
 
 @pytest.mark.parametrize("h,w,seed", [(64, 72, 3), (48, 56, 5), (80, 64, 8)])
