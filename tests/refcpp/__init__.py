@@ -82,11 +82,25 @@ def _build() -> bool:
                 os.remove(obj)
 
 
+def _stale() -> bool:
+    """True when any shim or reference source is newer than the binary,
+    so edits to compat.h / spatialconv_impl.cpp / oracle_main.cpp (or
+    the reference tree itself) force a rebuild instead of silently
+    asserting against an outdated oracle."""
+    bin_mtime = os.path.getmtime(_BIN)
+    srcs = [os.path.join(_HERE, s) for s in _LOCAL_TUS + ["compat.h"]]
+    srcs += [os.path.join(_REF_SRC, s) for s in _TUS]
+    for src in srcs:
+        if os.path.exists(src) and os.path.getmtime(src) > bin_mtime:
+            return True
+    return False
+
+
 def available() -> bool:
     global _state
     with _lock:
         if _state is None:
-            _state = os.path.exists(_BIN) or _build()
+            _state = (os.path.exists(_BIN) and not _stale()) or _build()
         return _state
 
 

@@ -41,7 +41,10 @@ def main():
         dict(lookahead=2, workers=3, readback_batch=2),
     ]
     for cfg in grid:
-        # warm one pass so thread pools etc. are steady
+        # warm one untimed pass so thread pools etc. are steady before
+        # the timed pass (matches bench.py's warm-up discipline)
+        for _ in det.detect_stream(frames, **cfg):
+            pass
         t0 = time.perf_counter()
         cnt = 0
         for cands in det.detect_stream(frames, **cfg):
