@@ -242,10 +242,19 @@ def main():
     )
 
     # ---- config 5: RGB-D depth-consistency rescoring ---------------------
+    from partsbaseddetector_tpu.depth import DepthGate
+
     person_rgbd = make_person_like_model()
     person_rgbd.thresh = -1e9  # keep candidates so depth filtering runs
+    # both depth stages run: the device-side per-scale plausible-depth
+    # response gate (intended SearchSpacePruning::filterResponseByDepth)
+    # inside the jitted program, and the host candidate-consistency
+    # filter after backtracking
     det_d = PartsBasedDetector(person_rgbd, max_detections=16,
-                               buckets_per_octave=2)
+                               buckets_per_octave=2,
+                               depth_gate=DepthGate(
+                                   object_width_m=0.6, fx=10.0,
+                                   tolerance=0.5))
     depth = (1.0 + rng.rand(*IMSIZE)).astype(np.float32)
     # camera frames are uint8: the detector ships them over the wire as
     # uint8 (4x fewer bytes than host-converted f32 — the per-frame
@@ -298,6 +307,7 @@ def main():
         candidates=len(cands),
         best_of=3,
         run_rates=[round(1.0 / s, 1) for s in secs_d],
+        response_gate=True,
     )
 
     # ---- config 2 (HEADLINE, last): person26 single-image ----------------

@@ -185,6 +185,67 @@ def depth_consistency_score(
     return float(np.mean(np.abs(cmed - pmed)[sel] / norms[sel]))
 
 
+@dataclasses.dataclass(frozen=True)
+class DepthGate:
+    """Parameters of per-scale plausible-depth response gating — the
+    *intended* behavior of filterResponseByDepth
+    (src/SearchSpacePruning.cpp:47-70: computes Z = fx*X/scale per scale
+    and then discards it; both call sites in the C++ detect() are
+    commented out). An object of real width `object_width_m` imaged by a
+    camera of focal length `fx` appears at pyramid scale `scale` only
+    when it lies near depth Z = fx*object_width_m/scale; response cells
+    whose local depth disagrees by more than tolerance*Z are masked to
+    -inf before the DP, so no part placement can land on them."""
+
+    object_width_m: float
+    fx: float
+    tolerance: float = 0.5
+
+
+def gate_sample_indices(
+    n: int, off: int, box_scale: float, im_extent: int, d_extent: int
+) -> np.ndarray:
+    """Depth-map sample index per response-grid coordinate (one axis).
+
+    Grid cell i maps to image pixel (i + off + 0.5) * box_scale (off is
+    the response grid's box origin: -1 in cpp border mode, -padx/-pady
+    in matlab mode — the same offsets backtrack uses for boxes), then
+    into depth-map coordinates by the depth/image size ratio, clamped.
+    Shared by the host predictor (depth_level_mask) and the device gate
+    (pipeline.depth_response_masks) so the two agree bit-for-bit."""
+    px = (np.arange(n, dtype=np.float64) + off + 0.5) * box_scale
+    idx = np.floor(px * (d_extent / float(im_extent))).astype(np.int32)
+    return np.clip(idx, 0, d_extent - 1)
+
+
+def gate_plausible(d: np.ndarray, z: float, tolerance: float) -> np.ndarray:
+    """True where a sampled depth is plausible for expected depth z:
+    within tolerance*z, or unknown (<= 0 / non-finite) which passes."""
+    return (
+        (np.abs(d - z) <= tolerance * z) | (d <= 0) | ~np.isfinite(d)
+    )
+
+
+def depth_level_mask(
+    depth: np.ndarray,
+    grid_shape: Tuple[int, int],
+    box_scale: float,
+    off_x: int,
+    off_y: int,
+    im_shape: Tuple[int, int],
+    gate: DepthGate,
+) -> np.ndarray:
+    """Host predictor for one pyramid level's plausible-depth gate:
+    (H, W) bool over the level's response grid. The device pipeline
+    (pipeline.depth_response_masks) computes the identical mask."""
+    h, w = grid_shape
+    iy = gate_sample_indices(h, off_y, box_scale, im_shape[0], depth.shape[0])
+    ix = gate_sample_indices(w, off_x, box_scale, im_shape[1], depth.shape[1])
+    d = depth[iy[:, None], ix[None, :]].astype(np.float64)
+    z = gate.fx * gate.object_width_m / box_scale
+    return gate_plausible(d, z, gate.tolerance)
+
+
 def plausible_depth_mask(
     depth: np.ndarray,
     resp_shape: Tuple[int, int],

@@ -70,9 +70,16 @@ class PartsBasedDetector:
         nms_overlap: Optional[float] = None,
         border_mode: str = "matlab",
         buckets_per_octave: int = 1,
+        depth_gate=None,
     ):
         if conv_engine not in ("spatial", "fourier"):
             raise ValueError(f"unknown conv engine: {conv_engine}")
+        # plausible-depth response pruning (depth.DepthGate): when set
+        # and detect() receives a depth map, per-scale implausible
+        # response cells are -inf-masked ON DEVICE before the DP — the
+        # intended SearchSpacePruning::filterResponseByDepth
+        # (src/SearchSpacePruning.cpp:47-70 computes and discards)
+        self.depth_gate = depth_gate
         self.max_detections = int(max_detections)
         self.conv_engine = conv_engine
         self.dtype = dtype
@@ -107,9 +114,12 @@ class PartsBasedDetector:
         """Detect candidates in an (H, W, 3) image, best first.
 
         If a depth map is given, candidates are additionally filtered for
-        part depth consistency (ref: SearchSpacePruning; see depth.py).
+        part depth consistency (ref: SearchSpacePruning; see depth.py),
+        and — when the detector was constructed with a depth_gate —
+        per-scale implausible-depth response cells are pruned on device
+        before the DP (the intended filterResponseByDepth).
         """
-        result = self.detect_dense(im)
+        result = self.detect_dense(im, depth)
         candidates = result.to_candidates()
         if depth is not None:
             from .depth import filter_candidates_by_depth
@@ -121,13 +131,26 @@ class PartsBasedDetector:
 
     # -- dense device API ------------------------------------------------------
 
-    def detect_dense(self, im: np.ndarray) -> DetectionResult:
-        """Run detection, returning dense padded arrays (host copies)."""
+    def detect_dense(
+        self, im: np.ndarray, depth: Optional[np.ndarray] = None
+    ) -> DetectionResult:
+        """Run detection, returning dense padded arrays (host copies).
+
+        depth is consumed here only when a depth_gate is configured
+        (response pruning happens inside the jitted program); the
+        candidate-level depth filter stays in detect()."""
         from .utils.profiling import validate_image
 
         im = validate_image(im, min_side=5 * self._packed.spec.sbin)
-        fn = self._get_fn(im.shape[:2])
-        out = fn(_upload(im, self.dtype))
+        gated = depth is not None and self.depth_gate is not None
+        fn = self._get_fn(im.shape[:2], gated=gated)
+        if gated:
+            out = fn(
+                _upload(im, self.dtype),
+                jax.device_put(np.asarray(depth, np.float32)),
+            )
+        else:
+            out = fn(_upload(im, self.dtype))
         # one pipelined device->host gather (device_get starts every
         # leaf's copy before waiting) instead of five serial reads —
         # on a tunneled backend each serial read pays a full RTT
@@ -249,8 +272,16 @@ class PartsBasedDetector:
                 )
                 if nbc is None:
                     nbc = [c.nparts for c in self._packed.components]
-                fn = self._get_fn(im.shape[:2])
-                buf.append((fn(_upload(im, self.dtype)), depth))
+                gated = depth is not None and self.depth_gate is not None
+                fn = self._get_fn(im.shape[:2], gated=gated)
+                if gated:
+                    out = fn(
+                        _upload(im, self.dtype),
+                        jax.device_put(np.asarray(depth, np.float32)),
+                    )
+                else:
+                    out = fn(_upload(im, self.dtype))
+                buf.append((out, depth))
                 if len(buf) >= readback_batch:
                     flush_buf()
                 while in_flight() > lookahead:
@@ -381,26 +412,35 @@ class PartsBasedDetector:
 
     # -- internals --------------------------------------------------------------
 
-    def _get_fn(self, imsize: Tuple[int, int]):
+    def _get_fn(self, imsize: Tuple[int, int], gated: bool = False):
         if self._packed is None:
             raise RuntimeError("distribute_model() must be called first")
-        key = (int(imsize[0]), int(imsize[1]))
+        key = (int(imsize[0]), int(imsize[1]), bool(gated))
         if key not in self._fns:
-            self._fns[key] = jax.jit(self._build_fn(key))
+            self._fns[key] = jax.jit(self._build_fn(key[:2], gated))
         return self._fns[key]
 
-    def _build_fn(self, imsize: Tuple[int, int]):
+    def _build_fn(self, imsize: Tuple[int, int], gated: bool = False):
         packed = self._packed
         spec = packed.spec
         plan = make_plan(packed, imsize, self.buckets_per_octave)
         max_det = self.max_detections
         p_max = packed.max_nparts
+        gate = self.depth_gate if gated else None
 
-        def fn(im: jax.Array):
+        def fn(im: jax.Array, depth: Optional[jax.Array] = None):
             import os as _os
 
+            rmasks = None
+            if gate is not None:
+                from .pipeline import depth_response_masks
+
+                rmasks = depth_response_masks(
+                    depth, plan, spec, gate, self.dtype
+                )
             scores = root_scores(
-                im, packed, plan, engine=self.conv_engine, dtype=self.dtype
+                im, packed, plan, engine=self.conv_engine, dtype=self.dtype,
+                response_masks=rmasks,
             )
             boxes_l, scores_l, mix_l, valid_l, comp_l = [], [], [], [], []
             # merged tail: one global top_k + one level-batched walk

@@ -120,6 +120,7 @@ def detect_reference(
     fixed_mixtures: Optional[np.ndarray] = None,
     kernels=reference,
     border_mode: str = "matlab",
+    level_masks: Optional[List[np.ndarray]] = None,
 ) -> List[dict]:
     """Full-pipeline reference detection.
 
@@ -131,6 +132,13 @@ def detect_reference(
     window overlaps that part's ground-truth box by >= overlap (IoU),
     optionally with fixed per-part mixtures; only the single best
     detection is returned.
+
+    level_masks (optional): one bool (H, W) array per pyramid level over
+    the level's response grid (top-left aligned; e.g. built with
+    depth.depth_level_mask). False cells are masked to detect.m's
+    finite INF (-1e10) in every part's responses at that level before
+    the DP — the host predictor for the device-side plausible-depth
+    gating (pipeline.depth_response_masks).
     """
     latent = part_boxes is not None
     cpp = border_mode == "cpp"
@@ -194,6 +202,12 @@ def detect_reference(
                 lv = int(part_level[p])
                 maps = [resp(lv, f) for f in model.filterid[c][p]]
                 score[p] = np.stack(maps, axis=-1)  # (Hp, Wp, K)
+                if level_masks is not None:
+                    lm = level_masks[lv]
+                    hh, ww = score[p].shape[:2]
+                    score[p] = np.where(
+                        lm[:hh, :ww, None], score[p], -1e10
+                    )
                 if latent:
                     # detect.m:88-99: with fixed mixtures, ONLY the
                     # mixture constraint applies (a reference quirk);

@@ -54,6 +54,65 @@ def make_plan(
     )
 
 
+def depth_response_masks(
+    depth: jax.Array,
+    plan: PyramidPlan,
+    spec,
+    gate,
+    dtype=jnp.float32,
+) -> List[jax.Array]:
+    """Device-side per-bucket plausible-depth response gates — the
+    *intended* filterResponseByDepth (src/SearchSpacePruning.cpp:47-70;
+    the reference computes Z = fx*X/scale per scale and discards it).
+
+    Returns one (S_b, Hr, Wr) bool array per bucket: True where the
+    local depth is plausible for that scale's expected object depth.
+    Sample indices are host-precomputed per static grid with
+    depth.gate_sample_indices, so the mask equals the host predictor
+    (depth.depth_level_mask) bit-for-bit on every scale's valid extent;
+    the device work is one gather + compare per bucket."""
+    from . import depth as depth_mod
+
+    h_im, w_im = plan.imsize
+    dh, dw = depth.shape
+    off_x = -1 if spec.border == "cpp" else -spec.padx
+    off_y = -1 if spec.border == "cpp" else -spec.pady
+    d = depth.astype(dtype)
+    masks: List[jax.Array] = []
+    for bucket in plan.buckets:
+        iy = np.stack(
+            [
+                depth_mod.gate_sample_indices(
+                    bucket.resp_h, off_y, plan.scales[s].box_scale, h_im, dh
+                )
+                for s in bucket.scale_indices
+            ]
+        )  # (S, Hr)
+        ix = np.stack(
+            [
+                depth_mod.gate_sample_indices(
+                    bucket.resp_w, off_x, plan.scales[s].box_scale, w_im, dw
+                )
+                for s in bucket.scale_indices
+            ]
+        )  # (S, Wr)
+        z = jnp.asarray(
+            [
+                gate.fx * gate.object_width_m / plan.scales[s].box_scale
+                for s in bucket.scale_indices
+            ],
+            dtype,
+        )[:, None, None]
+        sampled = d[jnp.asarray(iy)[:, :, None], jnp.asarray(ix)[:, None, :]]
+        ok = (
+            (jnp.abs(sampled - z) <= gate.tolerance * z)
+            | (sampled <= 0)
+            | ~jnp.isfinite(sampled)
+        )
+        masks.append(ok)
+    return masks
+
+
 def root_scores(
     im: jax.Array,
     packed: PackedModel,
@@ -63,13 +122,17 @@ def root_scores(
     dtype=jnp.float32,
     with_tables: bool = True,
     remat: bool = False,
+    response_masks: Optional[List[jax.Array]] = None,
 ) -> List[BucketScores]:
     """Run HOG pyramid -> responses -> tree DP for every (bucket,
     component). params (optional) = {'filters', 'defs', 'biases'} traced
     pools for training. remat=True rematerializes the DP block in the
     backward pass (use for large-image training where activation memory
     dominates; off by default — jit+checkpoint has shown NaN
-    miscompiles on the CPU backend)."""
+    miscompiles on the CPU backend). response_masks (optional): one
+    (S_b, Hr, Wr) bool array per bucket (e.g. depth_response_masks);
+    False cells are masked to the same neg value as the valid-extent
+    masking, composing with it."""
     spec = packed.spec
     conv = ENGINES[engine]
     if engine == "spatial" and params is None:
@@ -95,7 +158,12 @@ def root_scores(
         vh, vw = response_valid_extents(
             plan, bucket, packed.filter_sizes, spec.border
         )
-        resps.append(mask_responses(resp, vh, vw, neg))
+        resp = mask_responses(resp, vh, vw, neg)
+        if response_masks is not None:
+            # plausible-depth (or other positional) gate: (S, Hr, Wr)
+            # broadcast over the filter axis
+            resp = jnp.where(response_masks[b][..., None], resp, neg)
+        resps.append(resp)
         vhs.append(vh)
         vws.append(vw)
 
