@@ -65,6 +65,7 @@ def _with_thresh(model, im, keep=20, **kw):
     return model
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("border", ["matlab", "cpp"])
 def test_merged_matches_per_bucket(border):
     model = make_synthetic_model(seed=3, nparts=5, nmix=2, ncomponents=2)
@@ -76,6 +77,7 @@ def test_merged_matches_per_bucket(border):
     )
 
 
+@pytest.mark.slow
 def test_merged_matches_per_bucket_person_buckets2():
     model = make_person_like_model(seed=1)
     im = _image(1, 96, 120)
@@ -86,6 +88,7 @@ def test_merged_matches_per_bucket_person_buckets2():
     )
 
 
+@pytest.mark.slow
 def test_merged_matches_per_bucket_with_nms():
     model = make_face_like_model(seed=2)
     im = _image(2, 96, 112)

@@ -37,6 +37,7 @@ def _run_parity(model, im, engine="spatial", atol=2e-3):
     return got
 
 
+@pytest.mark.slow
 def test_detect_matches_reference_small():
     model = make_synthetic_model(
         nparts=4, nmix=2, fsize=(4, 4), sbin=8, interval=3, thresh=2.0, seed=10
@@ -48,6 +49,7 @@ def test_detect_matches_reference_small():
     assert len(got) > 0, "test should exercise at least one detection"
 
 
+@pytest.mark.slow
 def test_detect_matches_reference_tree_topology():
     """Deeper tree + 3 mixtures + non-square filters."""
     model = make_synthetic_model(
@@ -59,6 +61,7 @@ def test_detect_matches_reference_tree_topology():
     _run_parity(model, im)
 
 
+@pytest.mark.slow
 def test_detect_multicomponent():
     model = make_synthetic_model(
         nparts=3, nmix=2, fsize=(4, 4), sbin=8, interval=2, thresh=2.0,
@@ -70,6 +73,7 @@ def test_detect_multicomponent():
     _run_parity(model, im)
 
 
+@pytest.mark.slow
 def test_fourier_engine_parity():
     """BASELINE config 3: FFT responses must reproduce spatial detections."""
     model = make_synthetic_model(
@@ -179,6 +183,7 @@ def test_detect_stream_lookahead_zero_synchronous():
         assert [c.score for c in g] == [c.score for c in s]
 
 
+@pytest.mark.slow
 def test_detect_pallas_interpret_mode(monkeypatch):
     """Run the FULL pipeline through the Pallas DT kernels in
     interpreter mode on CPU — end-to-end coverage of the exact kernels
@@ -202,6 +207,7 @@ def test_detect_pallas_interpret_mode(monkeypatch):
         np.testing.assert_allclose(g.parts, w["boxes"], atol=5e-2)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("shape", [(83, 131), (150, 97), (96, 96)])
 def test_detect_odd_image_sizes(shape):
     """Rounding chains (cround) and bucket padding must hold up on
@@ -215,6 +221,7 @@ def test_detect_odd_image_sizes(shape):
     _run_parity(model, im)
 
 
+@pytest.mark.slow
 def test_detect_scale_offset_parts_fast_path():
     """anchor ds=1 parts in the packed TPU pipeline: child reads the
     octave-finer bucket; parity against the reference pipeline."""
@@ -250,6 +257,7 @@ def test_detect_bf16_mode_runs():
     assert abs(bf16[0].score - f32[0].score) < 0.2
 
 
+@pytest.mark.slow
 def test_detect_mixed_filter_sizes():
     """Per-part filter sizes differ (as in real trained models): the
     shared padded conv grid + per-(scale,filter) valid extents must stay
@@ -306,6 +314,7 @@ def test_detect_cpp_border_mode():
         np.testing.assert_allclose(g.parts, w["boxes"], atol=5e-2)
 
 
+@pytest.mark.slow
 def test_detect_half_octave_buckets():
     """buckets_per_octave=2 must be numerically identical to the
     default octave buckets (incl. octave-offset parts)."""
@@ -327,6 +336,7 @@ def test_detect_half_octave_buckets():
         np.testing.assert_allclose(a.parts, b.parts, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_detect_pallas_interpret_window_path(monkeypatch):
     """e2e through the ADAPTIVE WINDOW DT kernel (grids > 64 cells take
     the windowed path; the bucket-padded lanes exercise out_valid

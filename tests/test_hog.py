@@ -47,6 +47,7 @@ def test_hog_gradient_channel_tiebreak():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_hybrid_pyramid_matches_default():
     """The octave-batched pyramid builder must match the per-scale
     loop builder to 1 ulp: clamped gathers + iota masks reproduce each
@@ -86,6 +87,7 @@ def test_hybrid_pyramid_matches_default():
             )
 
 
+@pytest.mark.slow
 def test_hybrid_pyramid_matches_default_half_octave():
     import jax.numpy as jnp
 

@@ -337,6 +337,7 @@ def test_sublane_dt_aux_matches_lane_kernel(h, w, dlen, step, shift,
     )
 
 
+@pytest.mark.slow
 def test_xpass_sublane_composition_exact(monkeypatch):
     """Full 2-D packed DT: the sublane x-pass must produce bit-identical
     messages and packed pointers to the lane-chunked x-pass, including

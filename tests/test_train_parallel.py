@@ -191,6 +191,7 @@ def test_graft_entry_importable():
     assert callable(mod.entry) and callable(mod.dryrun_multichip)
 
 
+@pytest.mark.slow
 def test_latent_sgd_training_localizes():
     """SGD with GT-constrained latent positives must learn to localize a
     planted pattern — the TPU-native SSVM end to end."""
