@@ -166,6 +166,111 @@ def dump_indexers(model_xml: str) -> str:
     ).stdout
 
 
+def write_model_raw(model, path: str) -> None:
+    """Serialize a canonical Model to the oracle's raw binary format
+    (oracle_main.cpp::RawModel). Unlike the XML path, this keeps FULL
+    per-mixture defid/filterid/biasid tables, so multi-mixture models
+    reach the reference's real DP faithfully — the reference's own XML
+    reader replaces any non-scalar defid list with [0]
+    (src/FileStorageModel.cpp:148-152) and its DP then indexes that
+    length-1 vector per mixture (include/Parts.hpp defw/anchor), so no
+    XML file can carry a multi-mixture model into the reference binary.
+
+    The bias pool is re-laid out per (part, child-mixture) column, the
+    contiguous-run layout the C++ bias() accessor slices
+    (include/Parts.hpp:172-175) — same re-layout as
+    models/filestorage.py::FileStorageModel.write."""
+    import struct
+
+    model.validate()
+    biasw: List[float] = []
+    offsets = []  # [c][p] -> (K,) start offsets
+    for c in range(model.ncomponents):
+        offs_c = []
+        for p in range(model.nparts(c)):
+            tbl = model.biasid[c][p]  # (L, K) indices
+            offs = np.zeros(tbl.shape[1], dtype=np.int32)
+            for k in range(tbl.shape[1]):
+                offs[k] = len(biasw)
+                biasw.extend(float(model.biases[i]) for i in tbl[:, k])
+            offs_c.append(offs)
+        offsets.append(offs_c)
+
+    with open(path, "wb") as f:
+        f.write(
+            struct.pack(
+                "<5if",
+                0x50424431,
+                model.interval,
+                model.sbin,
+                model.norient,
+                model.flen,
+                model.thresh,
+            )
+        )
+        f.write(struct.pack("<i", len(model.filters)))
+        for filt in model.filters:
+            fh, fw, fl = filt.shape
+            mat = np.ascontiguousarray(
+                filt.reshape(fh, fw * fl), dtype=np.float32
+            )
+            f.write(struct.pack("<2i", fh, fw * fl))
+            f.write(mat.tobytes())
+        f.write(struct.pack("<i", len(model.defs)))
+        for d in model.defs:
+            f.write(np.asarray(d, dtype=np.float32).tobytes())
+        for a in model.anchors:
+            f.write(struct.pack("<2i", int(a[0]), int(a[1])))
+        f.write(struct.pack("<i", len(biasw)))
+        f.write(np.asarray(biasw, dtype=np.float32).tobytes())
+        f.write(struct.pack("<i", model.ncomponents))
+        for c in range(model.ncomponents):
+            f.write(struct.pack("<i", model.nparts(c)))
+            for p in range(model.nparts(c)):
+                f.write(struct.pack("<i", int(model.parentid[c][p])))
+                for lst in (
+                    model.filterid[c][p],
+                    model.defid[c][p],
+                    offsets[c][p],
+                ):
+                    arr = np.asarray(lst, dtype=np.int32)
+                    f.write(struct.pack("<i", arr.size))
+                    f.write(arr.tobytes())
+
+
+def detect_raw(model, image: np.ndarray) -> List[Tuple[int, float, np.ndarray]]:
+    """Run the reference C++ detect() on a canonical Model via the raw
+    binary model path (full multi-mixture tables). Same output contract
+    as detect()."""
+    if not available():
+        raise RuntimeError("reference C++ oracle unavailable")
+    raw = os.path.join(_HERE, f"_oracle_im_{os.getpid()}.raw")
+    mbin = os.path.join(_HERE, f"_oracle_model_{os.getpid()}.bin")
+    try:
+        _write_raw(raw, image)
+        write_model_raw(model, mbin)
+        out = subprocess.run(
+            [_BIN, "--detectraw", mbin, raw],
+            check=True, capture_output=True, timeout=600, text=True,
+        ).stdout.splitlines()
+    finally:
+        for p in (raw, mbin):
+            if os.path.exists(p):
+                os.remove(p)
+    n = int(out[0])
+    results = []
+    for line in out[1 : 1 + n]:
+        vals = line.split()
+        results.append(
+            (
+                int(vals[0]),
+                float(vals[1]),
+                np.asarray(vals[2:], dtype=np.int32).reshape(-1, 4),
+            )
+        )
+    return results
+
+
 def detect(
     model_xml: str, image: np.ndarray
 ) -> List[Tuple[int, float, np.ndarray]]:

@@ -27,6 +27,94 @@
 #include "HOGFeatures.hpp"
 #include "PartsBasedDetector.hpp"
 
+// Raw-model mode: pbd_ref_oracle --detectraw model.bin image.raw
+// RawModel fills the protected Model fields from a binary dump written
+// by tests/refcpp/__init__.py::write_model_raw, bypassing ONLY the XML
+// reader — whose defid handling destroys multi-mixture models
+// (src/FileStorageModel.cpp:148-152, pinned by
+// test_reference_xml_reader_drops_multimixture_defid) — so the
+// reference's real distributeModel/HOG/conv/DP/backtrack pipeline can
+// be exercised on faithful multi-mixture models too.
+class RawModel : public Model {
+ public:
+  bool serialize(const std::string&) const { return false; }
+  bool deserialize(const std::string& filename) {
+    std::ifstream f(filename.c_str(), std::ios::binary);
+    if (!f) return false;
+    int32_t iv[5];
+    f.read(reinterpret_cast<char*>(iv), sizeof(iv));
+    if (!f || iv[0] != 0x50424431) return false;  // "PBD1"
+    nscales_ = iv[1];
+    binsize_ = iv[2];
+    norient_ = iv[3];
+    flen_ = iv[4];
+    f.read(reinterpret_cast<char*>(&thresh_), 4);
+    int32_t n = 0;
+    f.read(reinterpret_cast<char*>(&n), 4);
+    filtersw_.resize(n);
+    filtersi_.resize(n);
+    for (int32_t i = 0; i < n; ++i) {
+      int32_t rc[2];
+      f.read(reinterpret_cast<char*>(rc), 8);
+      filtersw_[i].create(rc[0], rc[1], CV_32F);
+      f.read(reinterpret_cast<char*>(filtersw_[i].data),
+             static_cast<std::streamsize>(rc[0]) * rc[1] * 4);
+      filtersi_[i] = i;
+    }
+    f.read(reinterpret_cast<char*>(&n), 4);
+    defw_.resize(n);
+    defi_.resize(n);
+    anchors_.resize(n);
+    for (int32_t i = 0; i < n; ++i) {
+      float d[4];
+      f.read(reinterpret_cast<char*>(d), 16);
+      defw_[i].assign(d, d + 4);
+      defi_[i] = i;
+    }
+    for (int32_t i = 0; i < n; ++i) {
+      int32_t xy[2];
+      f.read(reinterpret_cast<char*>(xy), 8);
+      anchors_[i] = cv::Point(xy[0], xy[1]);
+    }
+    f.read(reinterpret_cast<char*>(&n), 4);
+    biasw_.resize(n);
+    biasi_.resize(n);
+    f.read(reinterpret_cast<char*>(biasw_.data()),
+           static_cast<std::streamsize>(n) * 4);
+    for (int32_t i = 0; i < n; ++i) biasi_[i] = i;
+    int32_t ncomp = 0;
+    f.read(reinterpret_cast<char*>(&ncomp), 4);
+    parentid_.resize(ncomp);
+    filterid_.resize(ncomp);
+    defid_.resize(ncomp);
+    biasid_.resize(ncomp);
+    for (int32_t c = 0; c < ncomp; ++c) {
+      int32_t np = 0;
+      f.read(reinterpret_cast<char*>(&np), 4);
+      parentid_[c].resize(np);
+      filterid_[c].resize(np);
+      defid_[c].resize(np);
+      biasid_[c].resize(np);
+      for (int32_t p = 0; p < np; ++p) {
+        f.read(reinterpret_cast<char*>(&parentid_[c][p]), 4);
+        vectori* lists[3] = {&filterid_[c][p], &defid_[c][p],
+                             &biasid_[c][p]};
+        for (int t = 0; t < 3; ++t) {
+          int32_t len = 0;
+          f.read(reinterpret_cast<char*>(&len), 4);
+          lists[t]->resize(len);
+          f.read(reinterpret_cast<char*>(lists[t]->data()),
+                 static_cast<std::streamsize>(len) * 4);
+        }
+      }
+    }
+    nparts_ = ncomp > 0 ? static_cast<int>(parentid_[0].size()) : 0;
+    nmixtures_ =
+        nparts_ > 0 ? static_cast<int>(filterid_[0][0].size()) : 0;
+    return bool(f);
+  }
+};
+
 static bool readRaw(const char* path, cv::Mat& im) {
   std::ifstream f(path, std::ios::binary);
   if (!f) return false;
@@ -90,40 +178,14 @@ static int dumpMode(int argc, char** argv) {
   return 0;
 }
 
-int main(int argc, char** argv) {
-  if (argc >= 2 && std::strcmp(argv[1], "--hog") == 0) return hogMode(argc, argv);
-  if (argc >= 2 && std::strcmp(argv[1], "--dump") == 0) return dumpMode(argc, argv);
-  if (argc < 3) {
-    std::fprintf(stderr, "usage: %s model.xml image.raw\n", argv[0]);
-    return 2;
-  }
-  FileStorageModel model;
-  if (!model.deserialize(argv[1])) {
-    std::fprintf(stderr, "model deserialize failed: %s\n", argv[1]);
-    return 3;
-  }
+static int runDetect(Model& model, const char* imgpath) {
   PartsBasedDetector<float> pbd;
   pbd.distributeModel(model);
 
-  std::ifstream f(argv[2], std::ios::binary);
-  if (!f) {
-    std::fprintf(stderr, "cannot open image: %s\n", argv[2]);
+  cv::Mat im;
+  if (!readRaw(imgpath, im)) {
+    std::fprintf(stderr, "cannot read image: %s\n", imgpath);
     return 4;
-  }
-  int32_t h = 0, w = 0, c = 0;
-  f.read(reinterpret_cast<char*>(&h), 4);
-  f.read(reinterpret_cast<char*>(&w), 4);
-  f.read(reinterpret_cast<char*>(&c), 4);
-  if (!f || h <= 0 || w <= 0 || c != 3) {
-    std::fprintf(stderr, "bad image header (h=%d w=%d c=%d)\n", h, w, c);
-    return 5;
-  }
-  cv::Mat im(h, w, CV_8UC3);
-  f.read(reinterpret_cast<char*>(im.data),
-         static_cast<std::streamsize>(h) * w * 3);
-  if (!f) {
-    std::fprintf(stderr, "truncated image payload\n");
-    return 6;
   }
 
   std::vector<Candidate> candidates;
@@ -142,4 +204,27 @@ int main(int argc, char** argv) {
     std::printf("\n");
   }
   return 0;
+}
+
+int main(int argc, char** argv) {
+  if (argc >= 2 && std::strcmp(argv[1], "--hog") == 0) return hogMode(argc, argv);
+  if (argc >= 2 && std::strcmp(argv[1], "--dump") == 0) return dumpMode(argc, argv);
+  if (argc >= 4 && std::strcmp(argv[1], "--detectraw") == 0) {
+    RawModel model;
+    if (!model.deserialize(argv[2])) {
+      std::fprintf(stderr, "raw model deserialize failed: %s\n", argv[2]);
+      return 3;
+    }
+    return runDetect(model, argv[3]);
+  }
+  if (argc < 3) {
+    std::fprintf(stderr, "usage: %s model.xml image.raw\n", argv[0]);
+    return 2;
+  }
+  FileStorageModel model;
+  if (!model.deserialize(argv[1])) {
+    std::fprintf(stderr, "model deserialize failed: %s\n", argv[1]);
+    return 3;
+  }
+  return runDetect(model, argv[2]);
 }

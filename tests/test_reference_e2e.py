@@ -23,12 +23,16 @@ Semantics pinned here (and their reference anchors):
     (src/DynamicProgram.cpp:238-240) and penalizes child displacement
     d = parent_idx + anchor - child_idx (DistanceTransform.hpp:172-178)
     with NO off-by-one vs our cpp border mode.
-  - argmax ties: the C++ envelope scan (DistanceTransform.hpp:152-182)
-    breaks exact score ties differently from the MATLAB MEX scan our
-    kernels pin to (matlab/mex/shiftdt.cc:17-51), so equal-scoring part
-    placements may differ; scores, counts, components and root argmaxes
-    must still agree exactly. Tie-free fixtures assert full box
-    identity.
+  - part argmins: the C++ DT composes its argmin indices incorrectly
+    (DistanceTransform.hpp:236-245 — see the multi-mixture section
+    below), so the reference's emitted child placements are a
+    coordinate-descent pair that does not generally achieve the root
+    score its DP reports. Score VALUES compose correctly and match
+    ours; fixtures whose score landscape is peaked enough that the
+    defective pair coincides with the argmax assert full box identity
+    (round-2 notes attributed residual box mismatches to tie-breaking;
+    score reconstruction this round showed the reference placements
+    score strictly lower — the composition defect is the real cause).
 
 Known reference defects verified while building the oracle (not
 replicated): single-part models crash the C++ DP (empty ncscores at
@@ -204,6 +208,271 @@ def test_reference_xml_reader_drops_multimixture_defid(tmp_path):
         b0 = toks.index("biasid")
         want_did = [str(int(v)) for v in model1.defid[0][p]]
         assert toks[d0 + 1 : b0] == want_did, line  # scalar defid survives
+
+
+# ---------------------------------------------------------------------------
+# Multi-mixture end-to-end parity (raw-model oracle path)
+# ---------------------------------------------------------------------------
+#
+# The reference's XML reader cannot carry a multi-mixture model (defid
+# destroyed, pinned above), so these tests reach the reference binary
+# through refcpp.detect_raw — oracle_main.cpp::RawModel fills the Model
+# fields directly and the REAL distributeModel/HOG/conv/DP/backtrack
+# runs. Mixtures get distinct square filter sizes (3x3 vs 5x5 vs 3x3)
+# so every emitted box width pins the chosen mixture (Ik) exactly
+# (box w = xsize*scale - 1, src/DynamicProgram.cpp:238-240).
+#
+# Verified reference defect (do not replicate): the C++ DT composes its
+# argmin indices incorrectly — DistanceTransform.hpp:236-245 keeps
+# Ix(yo, xo) from the row pass (best child x GIVEN child row == the
+# output row) and sets Iy(yo, xo) = Iy(yo, Ix(yo, xo)), indexing the
+# y-pass table with a child-x coordinate as if it were an output
+# column. The resulting (X, Y) is a coordinate-descent pair, not the
+# argmax, so the reference's emitted part boxes generally do NOT
+# achieve the root score its own DP computes (score VALUES compose
+# correctly and match ours to f32). The MATLAB MEX composes correctly
+# (matlab/mex/shiftdt.cc:102-108) and is the authoritative semantics
+# our kernels pin to. test_multimixture_boxes_explained_by_dt_defect
+# proves both directions: our placements reconstruct the root score
+# exactly; the reference's equal a NumPy emulation of the defective
+# composition on 100% of candidates.
+
+
+def _mm_model(nparts, nmix, seed, thresh, sizes=(3, 5, 7)):
+    """Uniform-K multi-mixture model with per-mixture distinct square
+    filter sizes and equalized root biases (the C++ root bias is
+    broadcast from bias(0)[0] across mixtures, src/DynamicProgram.cpp:
+    162-171, where MATLAB is per-mixture)."""
+    model = make_synthetic_model(
+        nparts=nparts, nmix=nmix, fsize=(3, 3), sbin=8, interval=1,
+        thresh=thresh, seed=seed,
+    )
+    rng = np.random.RandomState(seed + 77)
+    for p in range(nparts):
+        for k, fid in enumerate(model.filterid[0][p]):
+            s = sizes[k % len(sizes)]
+            model.filters[fid] = (rng.randn(s, s, 32) * 0.1).astype(
+                np.float32
+            )
+    root_tbl = model.biasid[0][0]
+    v = float(model.biases[root_tbl[0, 0]])
+    for idx in root_tbl.ravel():
+        model.biases[idx] = v
+    model.maxsize = None
+    return _strong_springs(model)
+
+
+def _mm_fixture(nmix, seed):
+    model = _mm_model(4, nmix, seed=seed, thresh=-16.0)
+    rng = np.random.RandomState(200 + seed)
+    im = (rng.rand(64, 72, 3) * 255).astype(np.uint8)
+    return model, im
+
+
+def _detect_both_raw(model, im, max_detections=256):
+    want = refcpp.detect_raw(model, np.ascontiguousarray(im[..., ::-1]))
+    det = PartsBasedDetector(model, max_detections=max_detections,
+                             border_mode="cpp")
+    got = det.detect(im)
+    return got, want
+
+
+def test_detect_raw_equals_xml_path_nmix1(tmp_path):
+    """The raw-model oracle path must be indistinguishable from the XML
+    path on a model the XML reader CAN carry (nmix=1)."""
+    model = _single_scale_model(nparts=5, nmix=1, seed=3, thresh=-12.0)
+    rng = np.random.RandomState(103)
+    im = (rng.rand(64, 72, 3) * 255).astype(np.uint8)
+    imb = np.ascontiguousarray(im[..., ::-1])
+    xml = str(tmp_path / "m.xml")
+    FileStorageModel.write(model, xml)
+    via_xml = refcpp.detect(xml, imb)
+    via_raw = refcpp.detect_raw(model, imb)
+    assert len(via_xml) == len(via_raw) > 0
+    for (c1, s1, b1), (c2, s2, b2) in zip(via_xml, via_raw):
+        assert c1 == c2 and abs(s1 - s2) < 1e-6
+        np.testing.assert_array_equal(b1, b2)
+
+
+@pytest.mark.parametrize("nmix,seed", [(2, 5), (2, 10), (3, 5), (3, 12)])
+def test_multimixture_scores_match_reference_cpp(nmix, seed):
+    """Candidate count, per-candidate score, component, ROOT box and
+    root mixture (via the root box size) must match the reference
+    binary exactly on nmix>=2 models — this pins the mixture-combine
+    max, the (L, K) pairwise bias tables, and the root mixture argmax
+    against the reference's real DynamicProgram
+    (src/DynamicProgram.cpp:110-171)."""
+    model, im = _mm_fixture(nmix, seed)
+    got, want = _detect_both_raw(model, im)
+    assert len(got) == len(want) > 0
+    for g, (comp, score, boxes) in zip(got, want):
+        assert g.component == comp
+        assert abs(float(g.score) - score) < 1e-5, (g.score, score)
+        np.testing.assert_array_equal(_as_xywh(g)[0], boxes[0])
+
+
+def _mm_placement_scorer(model, im):
+    """Exact (float64) tree-score of a placement in grid coordinates,
+    from independently computed responses — w . phi for the cpp border
+    mode on a single-scale model."""
+    from partsbaseddetector_tpu.ops import reference as port
+    from partsbaseddetector_tpu.ops.reference_pipeline import same_conv_cpp
+
+    feat = port.hog(im.astype(np.float64), 8)
+    P = model.nparts(0)
+    resp = {}
+    for p in range(P):
+        for k, fid in enumerate(model.filterid[0][p]):
+            resp[(p, k)] = same_conv_cpp(
+                feat, model.filters[fid].astype(np.float64)
+            )
+
+    def score(xs, ys, ms):
+        s = float(model.biases[model.biasid[0][0][0, ms[0]]])
+        for p in range(P):
+            s += resp[(p, ms[p])][ys[p], xs[p]]
+            if p > 0:
+                par = model.parentid[0][p]
+                s += model.biases[model.biasid[0][p][ms[par], ms[p]]]
+                d = model.defs[model.defid[0][p][ms[p]]].astype(np.float64)
+                ax, ay = model.anchors[model.defid[0][p][ms[p]]][:2]
+                dx = xs[par] + ax - xs[p]
+                dy = ys[par] + ay - ys[p]
+                s -= d[0] * dx * dx + d[1] * dx + d[2] * dy * dy + d[3] * dy
+        return s
+
+    return score
+
+
+def _to_grid(boxes, model):
+    """Pixel xywh -> grid coords + mixture ids (sbin=8, single scale;
+    mixture from the box size: w = xsize*scale - 1)."""
+    size_to_k = {}
+    for k, fid in enumerate(model.filterid[0][0]):
+        size_to_k[model.filters[fid].shape[0] * 8 - 1] = k
+    xs = boxes[:, 0] // 8 + 1
+    ys = boxes[:, 1] // 8 + 1
+    ms = np.array([size_to_k[int(w)] for w in boxes[:, 2]])
+    return xs, ys, ms
+
+
+def _defective_dt(score, d, ax, ay):
+    """NumPy emulation of the reference DT's argmin composition defect
+    (values exact, indices per DistanceTransform.hpp:236-245)."""
+    H, W = score.shape
+    xs = np.arange(W)
+    tmp = np.zeros((H, W))
+    Ix = np.zeros((H, W), int)
+    for q in range(W):
+        dx = q + ax - xs
+        val = score - (d[0] * dx * dx + d[1] * dx)[None, :]
+        Ix[:, q] = val.argmax(1)
+        tmp[:, q] = val.max(1)
+    ysr = np.arange(H)
+    out = np.zeros((H, W))
+    Iy = np.zeros((H, W), int)
+    for yo in range(H):
+        dy = yo + ay - ysr
+        val = tmp - (d[2] * dy * dy + d[3] * dy)[:, None]
+        Iy[yo, :] = val.argmax(0)
+        out[yo, :] = val.max(0)
+    Iy_final = np.zeros((H, W), int)
+    for m in range(H):
+        Iy_final[m, :] = Iy[m, Ix[m, :]]
+    return out, Ix, Iy_final
+
+
+@pytest.mark.parametrize("nmix,seed", [(2, 10), (3, 5)])
+def test_multimixture_boxes_explained_by_dt_defect(nmix, seed):
+    """Two-sided part-box evidence on multi-mixture models:
+    (a) every OUR candidate's part placement reconstructs the reported
+        root score exactly (true argmax, the MATLAB semantics);
+    (b) every REFERENCE candidate's part boxes (positions AND mixture
+        choices via box sizes) equal a NumPy emulation of the C++ DT's
+        defective argmin composition, on 100% of candidates."""
+    model, im = _mm_fixture(nmix, seed)
+    got, want = _detect_both_raw(model, im)
+    assert len(got) == len(want) > 0
+    scorer = _mm_placement_scorer(model, im)
+
+    # (a) ours reconstruct exactly (mixtures from the Ik backtrack)
+    for g in got:
+        xywh = _as_xywh(g)
+        xs, ys = xywh[:, 0] // 8 + 1, xywh[:, 1] // 8 + 1
+        assert abs(scorer(xs, ys, g.mixtures) - float(g.score)) < 2e-5
+
+    # (b) reference boxes == defective-composition prediction
+    from partsbaseddetector_tpu.ops import reference as port
+    from partsbaseddetector_tpu.ops.reference_pipeline import same_conv_cpp
+
+    feat = port.hog(im.astype(np.float64), 8)
+    P, K = model.nparts(0), nmix
+    par = model.parentid[0]
+    resp = {
+        (p, k): same_conv_cpp(
+            feat, model.filters[model.filterid[0][p][k]].astype(np.float64)
+        )
+        for p in range(P)
+        for k in range(K)
+    }
+    children = {p: [q for q in range(1, P) if par[q] == p] for p in range(P)}
+    acc, tables = {}, {}
+
+    def process(p):
+        a = {k: resp[(p, k)].copy() for k in range(K)}
+        for q in children[p]:
+            process(q)
+            tabs = {}
+            for l in range(K):
+                outs, Ixs, Iys = [], [], []
+                for k in range(K):
+                    d = model.defs[model.defid[0][q][k]].astype(np.float64)
+                    ax, ay = model.anchors[model.defid[0][q][k]][:2]
+                    b = model.biases[model.biasid[0][q][l, k]]
+                    o, Ix, Iy = _defective_dt(acc[q][k], d, int(ax), int(ay))
+                    outs.append(o + b)
+                    Ixs.append(Ix)
+                    Iys.append(Iy)
+                stack = np.stack(outs)
+                Ik = stack.argmax(0)
+                a[l] += stack.max(0)
+                tabs[l] = (
+                    np.take_along_axis(np.stack(Ixs), Ik[None], 0)[0],
+                    np.take_along_axis(np.stack(Iys), Ik[None], 0)[0],
+                    Ik,
+                )
+            tables[q] = tabs
+        acc[p] = a
+
+    process(0)
+    rootbias = model.biases[model.biasid[0][0][0, 0]]
+    rootv = np.stack([acc[0][k] + rootbias for k in range(K)])
+    rmix = rootv.argmax(0)
+
+    nonmax_seen = 0
+    for comp, score, boxes in want:
+        xs, ys, ms = _to_grid(np.asarray(boxes, np.int64), model)
+        x0, y0 = int(xs[0]), int(ys[0])
+        pxs = np.zeros(P, int)
+        pys = np.zeros(P, int)
+        pms = np.zeros(P, int)
+        pxs[0], pys[0], pms[0] = x0, y0, rmix[y0, x0]
+        for p in range(1, P):
+            pq = par[p]
+            Ixm, Iym, Ik = tables[p][pms[pq]]
+            y, x = pys[pq], pxs[pq]
+            pxs[p], pys[p], pms[p] = Ixm[y, x], Iym[y, x], Ik[y, x]
+        np.testing.assert_array_equal(pxs, xs)
+        np.testing.assert_array_equal(pys, ys)
+        np.testing.assert_array_equal(pms, ms)
+        # and the defect is REAL here: at least one reference placement
+        # scores strictly below the root score it is reported with
+        if scorer(xs, ys, ms) < score - 1e-4:
+            nonmax_seen += 1
+    assert nonmax_seen > 0, (
+        "fixture must exhibit the non-argmax placements that pin the "
+        "reference defect"
+    )
 
 
 @pytest.mark.parametrize("h,w,seed", [(64, 72, 3), (48, 56, 5), (80, 64, 8)])
