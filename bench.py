@@ -250,8 +250,12 @@ def main():
     # response gate (intended SearchSpacePruning::filterResponseByDepth)
     # inside the jitted program, and the host candidate-consistency
     # filter after backtracking
+    # device_depth_filter: medians + the consistency keep mask run
+    # inside the jitted program (ops/depth_device.py) — no host depth
+    # pass, no readback dependency in the stream loop
     det_d = PartsBasedDetector(person_rgbd, max_detections=16,
                                buckets_per_octave=2,
+                               device_depth_filter=True,
                                depth_gate=DepthGate(
                                    object_width_m=0.6, fx=10.0,
                                    tolerance=0.5))

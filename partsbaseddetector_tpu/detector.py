@@ -50,6 +50,29 @@ def _upload(im: np.ndarray, dtype) -> jax.Array:
     return jax.device_put(im.astype(np.dtype(dtype), copy=False))
 
 
+def _upload_depth(depth: np.ndarray) -> jax.Array:
+    """Ship a depth map in its narrowest exact wire format.
+
+    uint16 frames are Kinect-native millimeters (the reference demo
+    reads exactly this and divides by 1000, src/demo.cpp:95-99; the ROS
+    node's 16UC1 path is the same) — they go over the wire as uint16
+    (4x fewer bytes than f32 meters; the tunneled execute path pays
+    ~13 ms/MB) and are converted to f32 meters ON DEVICE. float inputs
+    are taken as meters."""
+    depth = np.asarray(depth)
+    if depth.dtype == np.uint16:
+        return jax.device_put(depth)
+    return jax.device_put(depth.astype(np.float32, copy=False))
+
+
+def _depth_meters_host(depth: np.ndarray) -> np.ndarray:
+    """Host-side twin of the device conversion (for the host filter)."""
+    depth = np.asarray(depth)
+    if depth.dtype == np.uint16:
+        return depth.astype(np.float32) / 1000.0
+    return depth
+
+
 class PartsBasedDetector:
     """TPU-native flexible-mixtures-of-parts detector.
 
@@ -71,6 +94,7 @@ class PartsBasedDetector:
         border_mode: str = "matlab",
         buckets_per_octave: int = 1,
         depth_gate=None,
+        device_depth_filter: bool = False,
     ):
         if conv_engine not in ("spatial", "fourier"):
             raise ValueError(f"unknown conv engine: {conv_engine}")
@@ -80,6 +104,14 @@ class PartsBasedDetector:
         # intended SearchSpacePruning::filterResponseByDepth
         # (src/SearchSpacePruning.cpp:47-70 computes and discards)
         self.depth_gate = depth_gate
+        # run the candidate depth-consistency filter ON DEVICE inside
+        # the jitted program (ops/depth_device.py): the serving path for
+        # RGB-D streams — the host applies a precomputed keep mask and
+        # never touches the depth map (the host path in depth.py is the
+        # exact reference implementation and stays the default; device
+        # medians are exact for part boxes up to 48 px and
+        # strided-sampled beyond)
+        self.device_depth_filter = bool(device_depth_filter)
         self.max_detections = int(max_detections)
         self.conv_engine = conv_engine
         self.dtype = dtype
@@ -120,12 +152,17 @@ class PartsBasedDetector:
         before the DP (the intended filterResponseByDepth).
         """
         result = self.detect_dense(im, depth)
+        if depth is not None and result.depth_keep is not None:
+            # the jitted program already evaluated the consistency
+            # filter; apply its keep mask before candidate assembly
+            result.valid = result.valid & result.depth_keep
+            return result.to_candidates()
         candidates = result.to_candidates()
         if depth is not None:
             from .depth import filter_candidates_by_depth
 
             candidates = filter_candidates_by_depth(
-                self._packed, candidates, depth
+                self._packed, candidates, _depth_meters_host(depth)
             )
         return candidates
 
@@ -142,19 +179,22 @@ class PartsBasedDetector:
         from .utils.profiling import validate_image
 
         im = validate_image(im, min_side=5 * self._packed.spec.sbin)
-        gated = depth is not None and self.depth_gate is not None
-        fn = self._get_fn(im.shape[:2], gated=gated)
-        if gated:
+        with_depth = depth is not None and (
+            self.depth_gate is not None or self.device_depth_filter
+        )
+        fn = self._get_fn(im.shape[:2], gated=with_depth)
+        if with_depth:
             out = fn(
                 _upload(im, self.dtype),
-                jax.device_put(np.asarray(depth, np.float32)),
+                _upload_depth(depth),
             )
         else:
             out = fn(_upload(im, self.dtype))
         # one pipelined device->host gather (device_get starts every
         # leaf's copy before waiting) instead of five serial reads —
         # on a tunneled backend each serial read pays a full RTT
-        boxes, scores, comps, valid, mixtures = jax.device_get(out)
+        host = jax.device_get(out)
+        boxes, scores, comps, valid, mixtures = host[:5]
         return DetectionResult(
             boxes=boxes,
             scores=scores,
@@ -162,6 +202,7 @@ class PartsBasedDetector:
             valid=valid,
             nparts_by_component=[c.nparts for c in self._packed.components],
             mixtures=mixtures,
+            depth_keep=host[5] if len(host) > 5 else None,
         )
 
     def detect_stream(
@@ -215,7 +256,11 @@ class PartsBasedDetector:
             hosts = jax.device_get([out for out, _ in chunk])
             results = []
             for (out, depth), host in zip(chunk, hosts):
-                boxes, scores, comps, valid, mixtures = host
+                boxes, scores, comps, valid, mixtures = host[:5]
+                if len(host) > 5:
+                    # device-side depth-consistency filter: apply the
+                    # precomputed keep mask; no host depth pass
+                    valid = valid & host[5]
                 res = DetectionResult(
                     boxes=boxes,
                     scores=scores,
@@ -225,11 +270,11 @@ class PartsBasedDetector:
                     mixtures=mixtures,
                 )
                 cands = res.to_candidates()
-                if depth is not None:
+                if depth is not None and len(host) <= 5:
                     from .depth import filter_candidates_by_depth
 
                     cands = filter_candidates_by_depth(
-                        self._packed, cands, depth
+                        self._packed, cands, _depth_meters_host(depth)
                     )
                 results.append(cands)
             return results
@@ -272,12 +317,14 @@ class PartsBasedDetector:
                 )
                 if nbc is None:
                     nbc = [c.nparts for c in self._packed.components]
-                gated = depth is not None and self.depth_gate is not None
-                fn = self._get_fn(im.shape[:2], gated=gated)
-                if gated:
+                with_depth = depth is not None and (
+                    self.depth_gate is not None or self.device_depth_filter
+                )
+                fn = self._get_fn(im.shape[:2], gated=with_depth)
+                if with_depth:
                     out = fn(
                         _upload(im, self.dtype),
-                        jax.device_put(np.asarray(depth, np.float32)),
+                        _upload_depth(depth),
                     )
                 else:
                     out = fn(_upload(im, self.dtype))
@@ -427,10 +474,23 @@ class PartsBasedDetector:
         max_det = self.max_detections
         p_max = packed.max_nparts
         gate = self.depth_gate if gated else None
+        dev_filter = self.device_depth_filter and gated
+        if dev_filter:
+            from .ops.depth_device import component_tables
+
+            parent_tbl, norm_tbl = component_tables(packed)
 
         def fn(im: jax.Array, depth: Optional[jax.Array] = None):
             import os as _os
 
+            if depth is not None:
+                # uint16 wire frames are Kinect millimeters; the
+                # reference demo divides by 1000 (src/demo.cpp:95-99)
+                depth = (
+                    depth.astype(self.dtype) / 1000.0
+                    if depth.dtype == jnp.uint16
+                    else depth.astype(self.dtype)
+                )
             rmasks = None
             if gate is not None:
                 from .pipeline import depth_response_masks
@@ -473,7 +533,7 @@ class PartsBasedDetector:
                     )
                     for bs in lst
                 ]
-                bx, sc, mx, vd = backtrack_merged(
+                bx, sc, mx, vd, _ = backtrack_merged(
                     [bs.rootv for bs in lst],
                     [bs.rooti for bs in lst],
                     [bs.tables for bs in lst],
@@ -508,7 +568,7 @@ class PartsBasedDetector:
                 )
                 # box origin: MATLAB subtracts the virtual padding; the
                 # C++ demo subtracts one cell (DynamicProgram.cpp:239)
-                bx, sc, mx, vd = backtrack(
+                bx, sc, mx, vd, _ = backtrack(
                     bs.rootv,
                     bs.rooti,
                     bs.tables,
@@ -551,12 +611,25 @@ class PartsBasedDetector:
                     out_boxes, top, out_valid, self.nms_overlap
                 )
                 out_valid = out_valid & keep
-            return (
+            out = (
                 out_boxes,
                 top,
                 comps[order],
                 out_valid,
                 mixtures[order],
             )
+            if dev_filter:
+                from .ops.depth_device import depth_keep_mask
+
+                out = out + (
+                    depth_keep_mask(
+                        depth,
+                        out_boxes,
+                        comps[order],
+                        parent_tbl,
+                        norm_tbl,
+                    ),
+                )
+            return out
 
         return fn

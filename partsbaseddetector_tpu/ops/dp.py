@@ -643,7 +643,13 @@ def backtrack_merged(
     boxes = jnp.stack([x1, y1, x2, y2], axis=-1)  # (P, K, 4)
     boxes = jnp.swapaxes(boxes, 0, 1)  # (K, P, 4)
     mixtures = jnp.swapaxes(ms_t, 0, 1).astype(jnp.int32)
-    return boxes, vals, mixtures, valid
+    coords = (
+        bid,
+        si.astype(jnp.int32),
+        jnp.swapaxes(xs_t, 0, 1).astype(jnp.int32),
+        jnp.swapaxes(ys_t, 0, 1).astype(jnp.int32),
+    )
+    return boxes, vals, mixtures, valid, coords
 
 
 def backtrack(
@@ -710,4 +716,9 @@ def backtrack(
         boxes.append(jnp.stack([x1, y1, x2, y2], axis=-1))
     boxes = jnp.stack(boxes, axis=1)  # (max_det, P, 4)
     mixtures = jnp.stack(ms, axis=1).astype(jnp.int32)
-    return boxes, vals, mixtures, valid
+    coords = (
+        si.astype(jnp.int32),
+        jnp.stack(xs, axis=1).astype(jnp.int32),
+        jnp.stack(ys, axis=1).astype(jnp.int32),
+    )
+    return boxes, vals, mixtures, valid, coords

@@ -139,6 +139,10 @@ class DetectionResult:
     # — the DP's Ik backtrack output (detect_fast.m:144-177); optional
     # because host-side constructors (e.g. CPU twin) may omit it
     mixtures: Optional[np.ndarray] = None
+    # (max_det,) bool device-side depth-consistency keep mask
+    # (ops/depth_device.py), set when the detector ran its device depth
+    # filter; detect() ANDs it into valid before candidate assembly
+    depth_keep: Optional[np.ndarray] = None
 
     def to_candidates(self) -> List[Candidate]:
         out: List[Candidate] = []
