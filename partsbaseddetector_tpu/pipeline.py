@@ -160,9 +160,14 @@ def root_scores(
         )
         resp = mask_responses(resp, vh, vw, neg)
         if response_masks is not None:
-            # plausible-depth (or other positional) gate: (S, Hr, Wr)
-            # broadcast over the filter axis
-            resp = jnp.where(response_masks[b][..., None], resp, neg)
+            # (S, Hr, Wr) positional gates (plausible-depth) broadcast
+            # over the filter axis; (S, Hr, Wr, F) per-filter gates
+            # (latent-positive part constraints, train/detect_tpu.py)
+            # apply as-is
+            m = response_masks[b]
+            if m.ndim == 3:
+                m = m[..., None]
+            resp = jnp.where(m, resp, neg)
         resps.append(resp)
         vhs.append(vh)
         vws.append(vw)

@@ -57,18 +57,45 @@ def train(
     tol: float = 0.05,
     seed: int = 0,
     verbose: bool = False,
+    miner: str = "tpu",
 ) -> Model:
     """Train (or latently retrain) a model (train.m).
 
     warp=True uses warped positives as fixed support vectors (the
     per-part initialization stage); otherwise positives are mined
     latently with per-part ground-truth overlap constraints.
+
+    miner: "tpu" (default) mines latent positives and hard negatives
+    through the jitted TPU pipeline with the weights as traced
+    arguments (train/detect_tpu.py — one compile per image shape,
+    reused across iterations); "reference" keeps the loop-level NumPy
+    pipeline (the exact train.m cost model, useful as an oracle).
     """
     layout = ParamLayout.build(model)
     qp = QPSolver(
         layout, nmax=nmax, cpos=c_svm * wpos, cneg=c_svm, seed=seed
     )
     qp.set_w_from_model_vec(layout.model_to_vec(model))
+
+    if miner not in ("tpu", "reference"):
+        raise ValueError(f"unknown miner: {miner}")
+    tpu_miner = None
+    if miner == "tpu":
+        from .detect_tpu import TPUMiner
+
+        tpu_miner = TPUMiner(model, max_det=max(64, max_neg_per_image))
+
+    def mine(im, thresh, **kw):
+        if tpu_miner is not None:
+            return tpu_miner.detect(im, thresh=thresh, **kw)
+        return detect_reference(im, model, thresh=thresh, **kw)
+
+    def adopt(new_model):
+        # weights changed: refresh the miner's traced params (compiled
+        # programs stay valid — structure is unchanged)
+        if tpu_miner is not None:
+            tpu_miner.set_model(new_model)
+        return new_model
 
     warped_phi = None
     for it in range(iters):
@@ -93,9 +120,8 @@ def train(
                 if np.any(areas < minsize):
                     continue
                 im = _imread(ex)
-                dets = detect_reference(
+                dets = mine(
                     im,
-                    model,
                     thresh=-1e8,
                     part_boxes=np.asarray(ex["boxes"]),
                     overlap=overlap,
@@ -134,7 +160,7 @@ def train(
         if qp.n:
             qp.prune()
             qp.opt(tol=tol)
-            model = layout.vec_to_model(qp.actual_w(), model)
+            model = adopt(layout.vec_to_model(qp.actual_w(), model))
 
         # hard negative mining on a coarser pyramid (train.m:96-106
         # drops model.interval to 2 for speed)
@@ -144,7 +170,7 @@ def train(
             if qp.full:
                 break
             im = _imread(ex)
-            dets = detect_reference(im, model, thresh=-1.0)
+            dets = mine(im, thresh=-1.0)
             feats = None
             for d in dets[:max_neg_per_image]:
                 if qp.full:
@@ -172,7 +198,7 @@ def train(
             print(
                 f"train iter {it}: n={qp.n} lb={qp.lb:.4f} ub={qp.ub:.4f}"
             )
-        model = layout.vec_to_model(qp.actual_w(), model)
+        model = adopt(layout.vec_to_model(qp.actual_w(), model))
 
         # threshold at the 5th-percentile positive score (train.m:110-113)
         pos_scores = qp.score_positives()

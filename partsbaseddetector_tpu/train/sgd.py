@@ -38,9 +38,16 @@ from ..pipeline import build_root_masks, make_plan, max_root_score
 def model_params(model: Model) -> dict:
     """Extract the trainable pools as a pytree (model2vec analog)."""
     packed = pack_model(model)
+    # a single-part model (the per-part init stage of train_model) has
+    # no deformations; keep one zero row so traced gathers stay valid
+    defs = (
+        np.stack(model.defs)
+        if len(model.defs)
+        else np.zeros((1, 4), np.float32)
+    )
     return {
         "filters": jnp.asarray(packed.filters),
-        "defs": jnp.asarray(np.stack(model.defs)),
+        "defs": jnp.asarray(defs),
         "biases": jnp.asarray(model.biases),
     }
 
@@ -56,7 +63,8 @@ def apply_params(model: Model, params: dict) -> Model:
     model = dataclasses.replace(model) if dataclasses.is_dataclass(model) else model
     model.filters = new_filters
     model.defs = [
-        np.asarray(d, dtype=np.float32) for d in np.asarray(params["defs"])
+        np.asarray(d, dtype=np.float32)
+        for d in np.asarray(params["defs"])[: len(model.defs)]
     ]
     model.biases = np.asarray(params["biases"], dtype=np.float32)
     return model
