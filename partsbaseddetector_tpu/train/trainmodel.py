@@ -10,6 +10,10 @@ skipped on re-entry.
 
 positives: dicts {'im', 'points' (P, 2)}; negatives: dicts {'im'}.
 K[p] = mixture count per part; pa = parent indices (pa[0] == 0).
+c_svm/wpos are the SVM regularization constants (train.m:31 defaults
+C=0.002, wpos=2 — tuned for thousands of real examples; small or
+low-contrast synthetic sets need a larger C or the regularized optimum
+is the zero filter).
 """
 
 from __future__ import annotations
@@ -59,6 +63,8 @@ def train_model(
     warp_iters: int = 2,
     latent_iters: int = 2,
     nmax: int = 2000,
+    c_svm: float = 0.002,
+    wpos: float = 2.0,
     verbose: bool = False,
 ) -> Model:
     P = len(pa)
@@ -124,6 +130,8 @@ def train_model(
                 warp=True,
                 iters=warp_iters,
                 nmax=nmax,
+                c_svm=c_svm,
+                wpos=wpos,
                 verbose=verbose,
             )
             filters.append(m.filters[0])
@@ -155,6 +163,8 @@ def train_model(
             warp=False,
             iters=latent_iters,
             nmax=nmax,
+            c_svm=c_svm,
+            wpos=wpos,
             fixed_mixtures=fixed,
             verbose=verbose,
         )
@@ -169,6 +179,8 @@ def train_model(
             warp=False,
             iters=latent_iters,
             nmax=nmax,
+            c_svm=c_svm,
+            wpos=wpos,
             verbose=verbose,
         )
 

@@ -210,6 +210,66 @@ def test_reference_xml_reader_drops_multimixture_defid(tmp_path):
         assert toks[d0 + 1 : b0] == want_did, line  # scalar defid survives
 
 
+def test_reference_scalar_defid_multimixture_is_oob(tmp_path):
+    """Behavioral pin of the *second* half of the XML defect: even the
+    scalar-defid form (one shared def per part — the only multi-mixture
+    defid the reader keeps, FileStorageModel.cpp:148-152) cannot carry a
+    K>=2 model. The DP calls defw(m)/anchor(m) for every filter mixture
+    m (src/DynamicProgram.cpp:121-125) and those index the length-1
+    defid vector at m (include/Parts.hpp:179-183) — out of bounds, so
+    the detections are garbage: they disagree with the SAME model run
+    through the raw oracle path (which carries full shared-def tables).
+    Conclusion: no XML whatsoever can faithfully carry a multi-mixture
+    model into the reference binary; multi-mixture parity uses
+    refcpp.detect_raw."""
+    import re
+
+    model = make_synthetic_model(
+        nparts=3, nmix=2, fsize=(3, 3), sbin=8, interval=1, thresh=-16.0,
+        seed=2, chain=True,
+    )
+    for p in range(1, 3):
+        model.defid[0][p][:] = int(model.defid[0][p][0])  # shared def
+    xml = str(tmp_path / "scalar_defid.xml")
+    FileStorageModel.write(model, xml)
+
+    def scalarize(m):
+        vals = m.group(1).split()
+        return (
+            f"<defid>{vals[0]}</defid>" if len(set(vals)) == 1 else m.group(0)
+        )
+
+    txt = re.sub(
+        r"<defid>([^<]+)</defid>", scalarize, open(xml).read()
+    )
+    open(xml, "w").write(txt)
+    # the reader DOES keep the scalar defid (unlike list defids) ...
+    lines = refcpp.dump_indexers(xml).strip().splitlines()
+    for p, line in enumerate(lines[1:], start=1):
+        toks = line.split()
+        d0, b0 = toks.index("defid"), toks.index("biasid")
+        assert toks[d0 + 1 : b0] == [str(int(model.defid[0][p][0]))], line
+    # ... but detection through it disagrees with the raw-model path on
+    # the very same model: the OOB defw/anchor reads poison the DP
+    rng = np.random.RandomState(0)
+    im = np.ascontiguousarray(
+        (rng.rand(64, 72, 3) * 255).astype(np.uint8)[..., ::-1]
+    )
+    via_xml = refcpp.detect(xml, im)
+    via_raw = refcpp.detect_raw(model, im)
+    assert len(via_xml) and len(via_raw)
+    n = min(len(via_xml), len(via_raw))
+    mismatched = sum(
+        1
+        for (c1, s1, _), (c2, s2, _) in zip(via_xml[:n], via_raw[:n])
+        if abs(s1 - s2) > 1e-4
+    )
+    assert mismatched > n // 2, (
+        "expected the OOB defid reads to poison most candidates; if this "
+        "ever passes cleanly the defect analysis needs revisiting"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multi-mixture end-to-end parity (raw-model oracle path)
 # ---------------------------------------------------------------------------
