@@ -44,7 +44,38 @@ def filter_responses(features: jax.Array, filters: jax.Array) -> jax.Array:
     )
 
 
-def filter_responses_fft(features: jax.Array, filters: jax.Array) -> jax.Array:
+def fft_filter_spectra(
+    filters: "np.ndarray", h: int, w: int
+) -> "np.ndarray":
+    """Host-side conjugate filter spectra for an (h, w) transform size —
+    the cached `setFilters` state the reference's FourierConvolutionEngine
+    *intends* to keep (src/FourierConvolutionEngine.cpp:118-139 computes
+    per-channel DFTs into a local and drops them; we keep them). Computed
+    in float64 and rounded once to complex64, so the baked constant is
+    the best c64 representation of the true spectrum.
+
+    filters: (F, fh, fw, C) host array. Returns (h, wf, C, F) complex64,
+    conjugated and transposed for the MXU contraction in
+    filter_responses_fft.
+    """
+    import numpy as np
+
+    filt_f = np.conj(
+        np.fft.rfft2(
+            np.transpose(filters.astype(np.float64), (0, 3, 1, 2)),
+            s=(h, w),
+        )
+    )  # (F, C, h, wf)
+    return np.ascontiguousarray(
+        np.transpose(filt_f, (2, 3, 1, 0))
+    ).astype(np.complex64)
+
+
+def filter_responses_fft(
+    features: jax.Array,
+    filters: jax.Array,
+    spectra: "np.ndarray | jax.Array | None" = None,
+) -> jax.Array:
     """Same contract via the frequency domain (correlation theorem).
 
     Circular cross-correlation out = irfft2(rfft2(feat) * conj(rfft2(filt)))
@@ -52,15 +83,34 @@ def filter_responses_fft(features: jax.Array, filters: jax.Array) -> jax.Array:
     valid grid needs — no extra padding required. Channel spectra are
     summed before the single inverse transform per (scale, filter), as
     the reference engine intends (src/FourierConvolutionEngine.cpp:57-80).
+
+    The channel contraction runs as four real (S*H*Wf, C) x (C, F)
+    matmuls at HIGHEST precision — MXU work instead of a complex
+    elementwise einsum (which XLA evaluates at default precision: bf16
+    passes, measured 9.7e-3 max response error vs 4.7e-6 for the matmul
+    form; tools/fft_microbench.py). spectra (optional) is the cached
+    conjugate filter spectrum from fft_filter_spectra — serving bakes it
+    as a constant so no filter FFT runs per trace.
     """
     s, h, w, c = features.shape
     f, fh, fw, fc = filters.shape
     assert c == fc
     dtype = features.dtype
     feat_f = jnp.fft.rfft2(jnp.transpose(features, (0, 3, 1, 2)), s=(h, w))
-    filt_f = jnp.fft.rfft2(jnp.transpose(filters, (0, 3, 1, 2)), s=(h, w))
-    # (S, 1, C, H, Wf) * (1, F, C, H, Wf) summed over C
-    spec = jnp.einsum("schw,fchw->sfhw", feat_f, jnp.conj(filt_f))
+    if spectra is None:
+        filt_f = jnp.conj(
+            jnp.fft.rfft2(jnp.transpose(filters, (0, 3, 1, 2)), s=(h, w))
+        )
+        b = jnp.transpose(filt_f, (2, 3, 1, 0))  # (h, wf, C, F)
+    else:
+        b = jnp.asarray(spectra)
+    a = jnp.transpose(feat_f, (0, 2, 3, 1))  # (S, h, wf, C)
+    mm = lambda x, y: jnp.einsum(
+        "shwc,hwcf->shwf", x, y, precision=jax.lax.Precision.HIGHEST
+    )
+    re = mm(a.real, b.real) - mm(a.imag, b.imag)
+    im = mm(a.real, b.imag) + mm(a.imag, b.real)
+    spec = jnp.transpose(re + 1j * im, (0, 3, 1, 2))  # (S, F, h, wf)
     out = jnp.fft.irfft2(spec, s=(h, w)).astype(dtype)
     out = out[:, :, : h - fh + 1, : w - fw + 1]
     return jnp.transpose(out, (0, 2, 3, 1))

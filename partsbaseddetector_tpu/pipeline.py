@@ -154,7 +154,18 @@ def root_scores(
     vhs: List[np.ndarray] = []
     vws: List[np.ndarray] = []
     for b, bucket in enumerate(plan.buckets):
-        resp = conv(feats[b], filters)
+        if engine == "fourier" and params is None:
+            # serving: bake the conjugate filter spectra as constants —
+            # the cached `setFilters` state the reference engine intends
+            # (src/FourierConvolutionEngine.cpp:118-139 drops its DFTs)
+            from .ops.conv import fft_filter_spectra
+
+            spectra = fft_filter_spectra(
+                packed.filters, feats[b].shape[1], feats[b].shape[2]
+            )
+            resp = conv(feats[b], filters, spectra)
+        else:
+            resp = conv(feats[b], filters)
         vh, vw = response_valid_extents(
             plan, bucket, packed.filter_sizes, spec.border
         )
