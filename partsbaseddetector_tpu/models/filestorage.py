@@ -89,6 +89,10 @@ def _node_numbers(node: _Node) -> np.ndarray:
         return np.array([n.value for n in node.value])
     if node.kind == "mat":
         return np.asarray(node.value).ravel()
+    if node.kind == "str" and not node.value.strip():
+        # an empty element (e.g. <defid></defid> for a root part with
+        # no deformation) is an empty numeric list
+        return np.array([])
     raise ValueError(f"expected numeric node, got {node.kind}")
 
 
@@ -126,6 +130,8 @@ def _parse_yaml(path: str) -> _Node:
             return _Node("seq", [convert(v) for v in obj])
         if isinstance(obj, str):
             return _Node("str", obj)
+        if obj is None:  # empty node (e.g. a no-deformation defid)
+            return _Node("str", "")
         return _Node("scalar", float(obj))
 
     return convert(doc)

@@ -52,7 +52,7 @@ def train(
     wpos: float = 2.0,
     overlap: float = 0.6,  # train.m:40-41 default
     nmax: int = 2000,
-    max_neg_per_image: int = 20,
+    max_neg_per_image: int = 512,
     fixed_mixtures: Optional[np.ndarray] = None,
     tol: float = 0.05,
     seed: int = 0,
@@ -163,15 +163,32 @@ def train(
             model = adopt(layout.vec_to_model(qp.actual_w(), model))
 
         # hard negative mining on a coarser pyramid (train.m:96-106
-        # drops model.interval to 2 for speed)
+        # drops model.interval to 2 for speed). The reference writes
+        # EVERY above-threshold placement into the QP — there is no
+        # top-K (detect.m:121-137 scans the whole response map) — and
+        # re-optimizes the model *during* mining (detect.m:147-151 +
+        # optimize(): full opt+prune when the cache fills or lb < 0,
+        # one coordinate pass otherwise), so later images are mined
+        # against updated weights. Both behaviors are load-bearing:
+        # without them a degenerate init (e.g. zero filter + bias,
+        # where every placement ties) floods the cache with arbitrary
+        # ties, boundary-occlusion cells never enter the QP, and the
+        # learned model scores virtual padding above real content.
+        # TPU-native deviations, both documented: the per-image miner
+        # returns a fixed-size score-sorted top-K (max_neg_per_image,
+        # static shapes for the jitted top_k) instead of scan-order
+        # everything, and re-optimization happens per image instead of
+        # per (component, level) — the pipeline computes all levels in
+        # one device program, so per-image is the natural interleave
+        # granularity.
         interval0 = model.interval
         model.interval = min(2, interval0)
+        ub_run = max(qp.ub, 0.0) if np.isfinite(qp.ub) else 0.0
         for i, ex in enumerate(negatives):
-            if qp.full:
-                break
             im = _imread(ex)
             dets = mine(im, thresh=-1.0)
             feats = None
+            wrote = 0
             for d in dets[:max_neg_per_image]:
                 if qp.full:
                     break
@@ -190,6 +207,26 @@ def train(
                     (-1, i + 1, d["level"], int(d["xs"][0]), int(d["ys"][0]))[:5],
                     label=-1,
                 )
+                # running upper-bound estimate (detect.m:135)
+                ub_run += c_svm * max(1.0 + d["score"], 0.0)
+                wrote += 1
+            if wrote and (
+                qp.lb < 0
+                or ub_run <= 0
+                or 1 - qp.lb / ub_run > tol
+                or qp.full
+            ):
+                if qp.lb < 0 or qp.full:
+                    qp.opt(tol=tol)
+                    qp.prune()
+                else:
+                    qp.one()
+                ub_run = max(qp.ub, 0.0) if np.isfinite(qp.ub) else 0.0
+                model = adopt(layout.vec_to_model(qp.actual_w(), model))
+            if qp.full:
+                # cache is all support vectors even after pruning
+                # (train.m:104-107)
+                break
 
         model.interval = interval0
 
