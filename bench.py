@@ -314,6 +314,65 @@ def main():
         response_gate=True,
     )
 
+    # ---- config 6 (extra): TPU-native training-step throughput -----------
+    # The reference's training loop runs entirely on CPU MEX kernels
+    # (matlab/learning/train.m:96-106 mines negatives with detect.m; the
+    # QP-faithful twin of that path is train/latent.py). This framework
+    # additionally trains by differentiating the full pipeline on TPU
+    # (train/sgd.py): measure the jitted latent-SSVM value_and_grad step
+    # — HOG, conv, DTs, tree DP forward AND backward (custom VJP through
+    # the Pallas DT kernel) — on the 26-part person model, batch 8 at
+    # 240x320 with GT-constrained latent positive placements.
+    if os.environ.get("PBD_BENCH_TRAIN", "1") != "0":
+        import jax.numpy as jnp
+
+        from partsbaseddetector_tpu.models.model import pack_model
+        from partsbaseddetector_tpu.train.sgd import (
+            batch_root_masks,
+            make_train_step,
+            model_params,
+        )
+
+        tr_size, B = (240, 320), 8
+        person_tr = make_person_like_model()
+        packed_tr = pack_model(person_tr)
+        step, opt = make_train_step(packed_tr, tr_size, latent=True)
+        params = model_params(person_tr)
+        opt_state = opt.init(params)
+        imgs = jnp.asarray(
+            rng.rand(B, *tr_size, 3).astype(np.float32) * 255.0
+        )
+        labels = jnp.asarray([1.0, -1.0] * (B // 2))
+        bboxes = np.tile([40.0, 40.0, 280.0, 200.0], (B, 1))
+        masks = batch_root_masks(packed_tr, tr_size, bboxes)
+        jit_step = jax.jit(step)
+        params1, opt_state1, loss = jit_step(
+            params, opt_state, imgs, masks, labels
+        )
+        jax.block_until_ready(loss)
+        _ = float(loss)  # real host read (see time_fn)
+        nsteps = 10
+        t0 = time.perf_counter()
+        p, s = params1, opt_state1
+        for _ in range(nsteps):
+            p, s, loss = jit_step(p, s, imgs, masks, labels)
+        final_loss = float(loss)  # syncs the chain
+        sec_t = (time.perf_counter() - t0) / nsteps
+        emit(
+            6,
+            "person26 latent-SSVM training throughput (1 chip, 240x320)",
+            B / sec_t,
+            "images/sec",
+            None,
+            baseline=(
+                "no reference counterpart on accelerators (train.m "
+                "runs on CPU MEX kernels)"
+            ),
+            batch=B,
+            step_ms=round(sec_t * 1e3, 2),
+            loss_finite=bool(np.isfinite(final_loss)),
+        )
+
     # ---- config 2 (HEADLINE, last): person26 single-image ----------------
     # per-op-family device-time attribution from a jax.profiler trace
     # (in-program numbers; wall-clock timing of prefix programs on the

@@ -113,6 +113,41 @@ def cluster_parts(
     return idx
 
 
+def cluster_parts_poselet(
+    deffeat: Sequence[np.ndarray],
+    K: Sequence[int],
+    co: np.ndarray,
+    restarts: int = 100,
+    seed: int = 0,
+) -> List[np.ndarray]:
+    """Poselet-style part-type clustering (clusterparts_poselet.m:1-26):
+    instead of the single parent offset, each part p clusters on the
+    concatenation of its offsets to every part i marked connected in the
+    (P, P) 0/1 matrix `co` (co[p, i] == 1), k-means best of `restarts`.
+
+    With `co` equal to the parent adjacency this reduces to
+    cluster_parts; richer connectivity gives mixtures that encode whole
+    local configurations (poselets)."""
+    rng = np.random.RandomState(seed)
+    P = len(deffeat)
+    co = np.asarray(co)
+    if co.shape != (P, P):
+        raise ValueError(f"co must be ({P}, {P}), got {co.shape}")
+    idx: List[np.ndarray] = []
+    for p in range(P):
+        cols = [deffeat[i] - deffeat[p] for i in range(P) if co[p, i] == 1]
+        if not cols:
+            raise ValueError(f"part {p} has no connected parts in co")
+        x = np.concatenate(cols, axis=1)
+        best = None
+        for _ in range(restarts):
+            assign, _, dist = _kmeans(x, K[p], rng)
+            if best is None or dist < best[1]:
+                best = (assign, dist)
+        idx.append(best[0])
+    return idx
+
+
 def build_model(
     name: str,
     part_models: Sequence[Model],

@@ -177,6 +177,48 @@ def test_point_to_box_and_cluster():
     assert idx[2][up][0] != idx[2][~up][0]
 
 
+def test_cluster_parts_poselet():
+    from partsbaseddetector_tpu.train.builder import cluster_parts_poselet
+
+    rng = np.random.RandomState(7)
+    # two global configurations that only the JOINT offsets distinguish:
+    # part 1 sits right of the root in both, part 2 sits above part 1 in
+    # config A and below in config B — but part 2's offset TO THE ROOT
+    # also flips, so clustering part 1 on root-offset alone (parent
+    # clustering) sees one blob, while poselet clustering of part 1 on
+    # offsets to {root, part2} separates the configurations.
+    feats = []
+    labels = []
+    for i in range(30):
+        root = np.zeros(2)
+        p1 = root + [10, 0] + rng.randn(2) * 0.2
+        up = i % 2 == 0
+        p2 = p1 + ([0, 8] if up else [0, -8]) + rng.randn(2) * 0.2
+        feats.append(np.stack([root, p1, p2]))
+        labels.append(up)
+    kps = np.stack(feats)
+    deffeat = [kps[:, p, :] for p in range(3)]
+    labels = np.array(labels)
+
+    co = np.array([[0, 1, 0], [1, 0, 1], [0, 1, 0]])  # chain 0-1-2
+    idx = cluster_parts_poselet(deffeat, [1, 2, 2], co, restarts=10)
+    # part 1 clusters on (root-p1, p2-p1): configurations separate
+    assert np.unique(idx[1][labels]).size == 1
+    assert np.unique(idx[1][~labels]).size == 1
+    assert idx[1][labels][0] != idx[1][~labels][0]
+
+    # parent-only connectivity reduces to cluster_parts' feature; part 1
+    # (constant offset to root) then collapses to one effective cluster
+    # geometry — both restarts split arbitrarily, so only check shape
+    co_parent = np.array([[0, 1, 0], [1, 0, 0], [0, 1, 0]])
+    idx2 = cluster_parts_poselet(deffeat, [1, 1, 2], co_parent, restarts=5)
+    assert idx2[2].shape == (30,)
+    assert np.unique(idx2[2][labels]).size == 1
+
+    with np.testing.assert_raises(ValueError):
+        cluster_parts_poselet(deffeat, [1, 1, 1], np.zeros((3, 3)), restarts=1)
+
+
 def test_build_and_merge_model():
     rng = np.random.RandomState(6)
     pa = [0, 0]
