@@ -1,9 +1,22 @@
-"""Benchmarks: one JSON line per BASELINE.md config (headline last).
+"""Benchmarks: one JSON line per BASELINE.md config, HEADLINE emitted
+first (so a timeout still captures it) AND re-emitted as the final line
+(the driver parses the last JSON line of stdout).
 
 Configs (BASELINE.md "Benchmark configs"):
-  1 face single-image, 2 person26 single-image (HEADLINE, printed
-  last), 3 Fourier-engine parity + timing, 4 64-image fused batched
-  throughput, 5 RGB-D depth-consistency rescoring.
+  2 person26 single-image (HEADLINE) — f32 parity profile AND the
+    hybrid bf16-pipeline + fp32-top-k-rerank serving profile, with an
+    in-bench rerank parity check; 1 face single-image; 4 64-image
+    batched throughput; 5 RGB-D depth-consistency rescoring (median of
+    3 runs); 3 Fourier-engine parity + timing; 6 (extra) TPU train step.
+
+Un-timeout-able by construction: every config checks a wall-clock
+budget (PBD_BENCH_BUDGET seconds, default 800) BEFORE starting and
+emits a {"skipped": true} line when the remaining budget cannot cover
+its worst-case cold-compile cost, and every config runs inside its own
+try/except so one failure cannot eat the rest. Round 3's driver run
+timed out with zero lines (BENCH_r03.json rc=124) because the headline
+printed last behind best-of-3 streams and a cold training-step compile;
+this layout makes that impossible.
 
 Baseline semantics (the reference publishes no numbers — BASELINE.md):
   - person26/face/rgbd compare against this repo's native C++ CPU
@@ -14,14 +27,19 @@ Baseline semantics (the reference publishes no numbers — BASELINE.md):
     with the ratio. Extra field `vs_xla_cpu_1t` keeps the round-1
     comparison (same XLA pipeline on one CPU thread).
   - fourier's vs_baseline is the spatial engine's rate (engine A/B).
-  - batch64's vs_baseline is the single-image rate (batching gain).
+  - batch64's vs_baseline is the single-image rate of the SAME serving
+    profile (batching gain).
 
-CPU measurements are cached in .bench_cpu_baseline.json (slow).
+CPU measurements are cached in .bench_cpu_baseline.json (committed).
 """
 
 import json
 import os
+import sys
 import time
+
+T0 = time.perf_counter()
+BUDGET = float(os.environ.get("PBD_BENCH_BUDGET", "800"))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
@@ -30,6 +48,42 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(HERE, ".bench_cpu_baseline.json")
 IMSIZE = (480, 640)
+SMALL = (240, 320)
+
+HEADLINE = {
+    "metric": "person26 VGA single-image detect throughput (1 chip)",
+    "value": 0.0,
+    "unit": "images/sec",
+    "vs_baseline": 0.0,
+    "config": 2,
+    "error": "headline config never completed (see earlier lines)",
+}
+
+
+def remaining() -> float:
+    return BUDGET - (time.perf_counter() - T0)
+
+
+def guard(config: int, metric: str, need: float) -> bool:
+    """False (and emit a skipped line) when the remaining budget cannot
+    cover this config's worst-case cold-compile cost."""
+    if remaining() < need:
+        print(
+            json.dumps(
+                {
+                    "config": config,
+                    "metric": metric,
+                    "skipped": True,
+                    "reason": (
+                        f"budget: {remaining():.0f}s left < {need:.0f}s "
+                        "worst-case (cold compile)"
+                    ),
+                }
+            ),
+            flush=True,
+        )
+        return False
+    return True
 
 
 def _cache():
@@ -68,6 +122,8 @@ def native_cpu_baseline(key, model, im):
     c = _cache()
     if key in c:
         return c[key]
+    if remaining() < 120:
+        return None
     try:
         from partsbaseddetector_tpu.cpu_detector import CPUPartsBasedDetector
 
@@ -91,6 +147,28 @@ def emit(config, metric, value, unit, vs_baseline, **extra):
     }
     line.update(extra)
     print(json.dumps(line), flush=True)
+    return line
+
+
+def _match_boxes(bx_ref, sc_ref, vd_ref, bx, sc, vd, tol_px=0.75):
+    """Greedy-match candidates by root-box proximity; return
+    (n_query, n_matched, max |score delta| over matches)."""
+    qi = np.flatnonzero(vd)
+    ri = np.flatnonzero(vd_ref)
+    if len(qi) == 0 or len(ri) == 0:
+        return len(qi), 0, float("nan")
+    matched = 0
+    dmax = 0.0
+    used = np.zeros(len(ri), bool)
+    for q in qi:
+        d = np.abs(bx_ref[ri] - bx[q][None]).max(axis=(1, 2))
+        d = np.where(used, np.inf, d)
+        j = int(np.argmin(d))
+        if d[j] <= tol_px:
+            used[j] = True
+            matched += 1
+            dmax = max(dmax, float(abs(sc_ref[ri[j]] - sc[q])))
+    return len(qi), matched, dmax
 
 
 def main():
@@ -113,208 +191,406 @@ def main():
     # half-octave buckets when the model's interval allows them
     bpo = lambda m: 2 if m.interval % 2 == 0 else 1
     kw = dict(max_detections=256)
+    cpu_p = native_cpu_baseline("person_native_cpu_sec", person, im)
 
-    # ---- config 1: face single-image ------------------------------------
-    det_f = PartsBasedDetector(face, buckets_per_octave=bpo(face), **kw)
-    sec_f = time_fn(det_f.detect_fn(IMSIZE), im, 10)
-    cpu_f = native_cpu_baseline("face_native_cpu_sec", face, im)
-    emit(
-        1,
-        "face VGA single-image detect throughput (1 chip)",
-        1.0 / sec_f,
-        "images/sec",
-        (cpu_f / sec_f) if cpu_f else None,
-        baseline="native C++ CPU serving path, THIS host (nproc=1, single-core)",
-    )
-
-    # ---- build the headline person detector (shared by 2/3/4/5) ---------
+    # ================= config 2 (HEADLINE) — runs FIRST =================
     det_p = PartsBasedDetector(person, buckets_per_octave=bpo(person), **kw)
     fn_p = det_p.detect_fn(IMSIZE)
     sec_p = time_fn(fn_p, im, 20)
-
-    # ---- config 3: Fourier engine parity + timing ------------------------
-    det_ff = PartsBasedDetector(
-        person, conv_engine="fourier", buckets_per_octave=bpo(person), **kw
+    hl = dict(
+        value=1.0 / sec_p,
+        rate_f32=round(1.0 / sec_p, 3),
+        latency_ms_f32=round(sec_p * 1e3, 2),
+        profile="f32",
+        baseline=(
+            "native C++ CPU serving path, THIS host (nproc=1, single-core)"
+        ),
+        caveat=(
+            "single-core host: on a ~16-core box the CPU baseline would "
+            "be ~10-16x faster, shrinking vs_baseline accordingly"
+        ),
     )
-    fn_ff = det_ff.detect_fn(IMSIZE)
-    sec_ff = time_fn(fn_ff, im, 10)
-    # parity A/B on real detections: low-threshold pair at quarter size
-    # (the thresh=100 timing pipelines yield no valid candidates, so
-    # their masked scores are all -inf and say nothing about parity)
-    person_lo = make_person_like_model()
-    person_lo.thresh = -1e9
-    small = (240, 320)
-    im_small = im[: small[0], : small[1]]
-    kw_lo = dict(max_detections=64, buckets_per_octave=bpo(person_lo))
-    o_sp = PartsBasedDetector(person_lo, **kw_lo).detect_fn(small)(im_small)
-    o_ff = PartsBasedDetector(
-        person_lo, conv_engine="fourier", **kw_lo
-    ).detect_fn(small)(im_small)
-    v_sp, v_ff = np.asarray(o_sp[3]), np.asarray(o_ff[3])
-    both = v_sp & v_ff
-    dscore = float(
-        np.max(np.abs(np.asarray(o_sp[1])[both] - np.asarray(o_ff[1])[both]))
-    ) if both.any() else float("nan")
-    emit(
-        3,
-        "person26 VGA Fourier-engine detect throughput (1 chip)",
-        1.0 / sec_ff,
-        "images/sec",
-        sec_p / sec_ff,
-        baseline="spatial engine rate (engine A/B)",
-        parity_max_abs_score_delta=round(dscore, 6),
-        parity_valid_masks_equal=bool((v_sp == v_ff).all()),
-        parity_candidates=int(both.sum()),
-    )
+    sec_best = sec_p
 
-    # ---- config 4: 64-image batched throughput ----------------------------
-    # Serving path: async dispatch of the single-image program per image
-    # + ONE pipelined device_get over all outputs (detect_many default).
-    # Measured fastest (tools/batch64_probe.py): 43.4 img/s vs 39.9 for
-    # the fused vmap at micro=8 — the single-image program already keeps
-    # the chip ~95%+ occupied, so vmap only adds batched-gather glue;
-    # serial per-output reads would pay a ~10 ms tunnel RTT per image.
-    # PBD_BENCH_MICROBATCH>1 measures the fused vmap program instead.
-    micro = int(os.environ.get("PBD_BENCH_MICROBATCH", "1"))
-    nimg = 64
-    if micro == 1:
-        fn_b = det_p.detect_fn(IMSIZE)  # warm from config 2
-        # honest serving: 64 DISTINCT uint8 camera frames — each pays
-        # its wire transfer on the execute path (uint8 = 4x less wire
-        # than f32; tools/stream_probe.py). chip_rate below isolates
-        # pure chip throughput with a device-resident input.
-        frames64 = [
-            np.clip(im + float(i), 0, 255).astype(np.uint8)
-            for i in range(nimg)
-        ]
-        warm8 = fn_b(jax.device_put(frames64[0]))
-        jax.block_until_ready(warm8)
-        _ = np.asarray(warm8[1])  # real host read: block_until_ready
-        # can return early on the tunneled backend (see time_fn)
-        t0 = time.perf_counter()
-        outs = [fn_b(jax.device_put(f)) for f in frames64]
-        outs = jax.device_get(outs)
-        sec_b = (time.perf_counter() - t0) / nimg
-        imd = jax.device_put(im)
-        t0 = time.perf_counter()
-        outs = [fn_b(imd) for _ in range(nimg)]
-        outs = jax.device_get(outs)
-        sec_chip = (time.perf_counter() - t0) / nimg
-    else:
-        bfn = det_p.detect_batch_fn(IMSIZE, micro)
-        batch = jax.device_put(
-            np.stack([im] * micro)
-            + rng.rand(micro, 1, 1, 1).astype(np.float32)
-        )
-        out = bfn(batch)
-        jax.block_until_ready(out)
-        _ = np.asarray(out[1])
-        t0 = time.perf_counter()
-        outs = [bfn(batch) for _ in range(nimg // micro)]
-        outs = jax.device_get(outs)
-        sec_b = (time.perf_counter() - t0) / nimg
-        sec_chip = sec_b
-    note_b = (
-        (
-            "64 distinct uint8 frames, async single-image dispatch + one "
-            "pipelined readback (each fresh frame pays its wire transfer "
-            "on the tunneled execute path); chip_rate_resident_input "
-            "isolates pure chip throughput. Fused vmap microbatching "
-            "measures slower — the chip is already ~95%+ occupied by one "
-            "image (tools/batch64_probe.py)"
-        )
-        if micro == 1
-        else (
-            "fused vmap program over one repeated device-resident f32 "
-            f"microbatch of {micro} (opt-in via PBD_BENCH_MICROBATCH)"
-        )
-    )
-    emit(
-        4,
-        "person26 VGA 64-image batched throughput (1 chip)",
-        1.0 / sec_b,
-        "images/sec",
-        sec_p / sec_b,
-        baseline="single-image rate (batching gain)",
-        microbatch=micro,
-        chip_rate_resident_input=round(1.0 / sec_chip, 3),
-        note=note_b,
-    )
+    # hybrid serving profile: bf16 pipeline + fp32 on-device re-score of
+    # the top-k placements (ops/rescore.py; the score-reconstruction
+    # identity of detect.m:141-146 as a serving stage)
+    import jax.numpy as jnp
 
-    # ---- config 5: RGB-D depth-consistency rescoring ---------------------
-    from partsbaseddetector_tpu.depth import DepthGate
+    sec_h = None
+    if guard(2, "hybrid profile", 240):
+        try:
+            det_h = PartsBasedDetector(
+                person,
+                dtype=jnp.bfloat16,
+                buckets_per_octave=bpo(person),
+                **kw,
+            )
+            fn_h = det_h.detect_fn(IMSIZE)
+            sec_h = time_fn(fn_h, im, 20)
+            hl["rate_hybrid"] = round(1.0 / sec_h, 3)
+            hl["latency_ms_hybrid"] = round(sec_h * 1e3, 2)
+        except Exception as e:  # pragma: no cover - keep the bench alive
+            hl["hybrid_error"] = repr(e)[:200]
 
-    person_rgbd = make_person_like_model()
-    person_rgbd.thresh = -1e9  # keep candidates so depth filtering runs
-    # both depth stages run: the device-side per-scale plausible-depth
-    # response gate (intended SearchSpacePruning::filterResponseByDepth)
-    # inside the jitted program, and the host candidate-consistency
-    # filter after backtracking
-    # device_depth_filter: medians + the consistency keep mask run
-    # inside the jitted program (ops/depth_device.py) — no host depth
-    # pass, no readback dependency in the stream loop
-    det_d = PartsBasedDetector(person_rgbd, max_detections=16,
-                               buckets_per_octave=2,
-                               device_depth_filter=True,
-                               depth_gate=DepthGate(
-                                   object_width_m=0.6, fx=10.0,
-                                   tolerance=0.5))
-    depth = (1.0 + rng.rand(*IMSIZE)).astype(np.float32)
-    # camera frames are uint8: the detector ships them over the wire as
-    # uint8 (4x fewer bytes than host-converted f32 — the per-frame
-    # transfer is a first-order cost on the tunneled backend) and casts
-    # to f32 on device, value-identically
-    im8 = np.clip(im, 0, 255).astype(np.uint8)
-    det_d.detect(im8, depth)  # warm the uint8-input program
-    # streaming serving: detect_stream keeps programs in flight so the
-    # host->device copy, device compute, readback, and the host-side
-    # depth-consistency filter overlap across frames (the synchronous
-    # detect() serializes all four per call — on the tunneled backend
-    # that idles the chip for most of the wall clock)
-    iters_d = 20  # pipeline ramps over the first `lookahead` frames
-    frames = [
-        (np.clip(im + float(i), 0, 255).astype(np.uint8),
-         depth + 0.01 * i)
-        for i in range(iters_d)
-    ]
-    # one throwaway pass: the first stream pays worker-thread spin-up
-    # and allocator warm-up (~6 ms/frame measured), which is not part
-    # of steady-state serving
-    for _ in det_d.detect_stream(frames[:8], lookahead=4, workers=2,
-                                 readback_batch=2):
-        pass
-    # readback_batch=2: one ~30 ms tunnel round trip per TWO frames
-    # (the RTT is size-independent — tools/stream_probe.py);
-    # lookahead=4 + a second worker keep enough programs in flight to
-    # hide the remaining RTT (knob grid measured in tools/stream_tune.py:
-    # 28.2 img/s at la=2/w=1/rb=2 -> 38.6 at la=4/w=2/rb=2, within noise
-    # of rb=4 but at half the readback-group latency).
-    # best-of-3 timed passes: the tunnel RTT jitters run-to-run (docs
-    # report 17.6-38.5 img/s across identical runs), and the perf gate
-    # should measure the pipeline, not one unlucky network sample
-    secs_d = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for cands in det_d.detect_stream(frames, lookahead=4, workers=2,
-                                         readback_batch=2):
+    # rerank parity: low-threshold quarter-size models, hybrid vs the
+    # f32 engine on the same frame — every hybrid candidate must map to
+    # an f32 candidate with the same boxes and an (fp32-rescored) score
+    # equal to the f32 pipeline's
+    parity_ok = None
+    if sec_h is not None and guard(2, "rerank parity", 180):
+        try:
+            person_lo = make_person_like_model()
+            person_lo.thresh = -1e9
+            im_small = im[: SMALL[0], : SMALL[1]]
+            kw_lo = dict(
+                max_detections=16, buckets_per_octave=bpo(person_lo)
+            )
+            o_32 = PartsBasedDetector(person_lo, **kw_lo).detect_fn(SMALL)(
+                im_small
+            )
+            o_hy = PartsBasedDetector(
+                person_lo, dtype=jnp.bfloat16, **kw_lo
+            ).detect_fn(SMALL)(im_small)
+            o_32, o_hy = jax.device_get([o_32, o_hy])
+            nq, nm, dmax = _match_boxes(
+                np.asarray(o_32[0], np.float64),
+                np.asarray(o_32[1], np.float64),
+                np.asarray(o_32[3]),
+                np.asarray(o_hy[0], np.float64),
+                np.asarray(o_hy[1], np.float64),
+                np.asarray(o_hy[3]),
+            )
+            top1 = bool(
+                np.asarray(o_32[3])[0]
+                and np.asarray(o_hy[3])[0]
+                and np.max(
+                    np.abs(
+                        np.asarray(o_32[0])[0] - np.asarray(o_hy[0])[0]
+                    )
+                )
+                <= 0.75
+                and abs(float(o_32[1][0]) - float(o_hy[1][0])) <= 1e-3
+            )
+            parity_ok = bool(top1 and nm >= max(1, int(0.8 * nq)))
+            hl.update(
+                rerank_parity_top1_match=top1,
+                rerank_parity_matched=f"{nm}/{nq}",
+                rerank_parity_max_score_delta=(
+                    round(dmax, 6) if np.isfinite(dmax) else None
+                ),
+                rerank_parity_ok=parity_ok,
+            )
+        except Exception as e:  # pragma: no cover
+            hl["rerank_parity_error"] = repr(e)[:200]
+
+    if sec_h is not None and parity_ok:
+        # the hybrid profile is the serving headline once its parity is
+        # demonstrated in THIS run; the f32 rate stays in rate_f32
+        sec_best = sec_h
+        hl["value"] = 1.0 / sec_h
+        hl["profile"] = "hybrid bf16 pipeline + fp32 top-k rerank"
+
+    # per-op-family device-time attribution from a jax.profiler trace of
+    # the serving-profile program (in-program numbers; wall-clock timing
+    # of prefix programs on the tunneled backend measures dispatch RTT)
+    if guard(2, "device op breakdown", 90):
+        try:
+            from partsbaseddetector_tpu.utils.profiling import (
+                device_op_breakdown,
+            )
+
+            fn_prof = fn_h if (sec_h is not None and parity_ok) else fn_p
+            hl["device_op_ms"] = device_op_breakdown(
+                fn_prof, jax.device_put(im), iters=5
+            )
+        except Exception:
             pass
-        secs_d.append((time.perf_counter() - t0) / iters_d)
-    sec_d = min(secs_d)
-    cpu_p = native_cpu_baseline("person_native_cpu_sec", person, im)
-    emit(
-        5,
-        "person26 VGA RGB-D detect+depth-rescore throughput (1 chip)",
-        1.0 / sec_d,
-        "images/sec",
-        (cpu_p / sec_d) if cpu_p else None,
-        baseline="native C++ CPU serving path (RGB-only), THIS host (single-core)",
-        candidates=len(cands),
-        best_of=3,
-        run_rates=[round(1.0 / s, 1) for s in secs_d],
-        response_gate=True,
-    )
 
-    # ---- config 6 (extra): TPU-native training-step throughput -----------
+    # XLA's own FLOP estimate for the f32 program -> achieved FLOP/s
+    try:
+        ca = fn_p.lower(im).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+        if flops:
+            hl["achieved_gflops_f32"] = round(flops / sec_p / 1e9, 1)
+            hl["device"] = jax.devices()[0].device_kind
+    except Exception:
+        pass
+
+    xla_cpu_1t = _cache().get("cpu_sec_per_image")
+    if xla_cpu_1t:
+        hl["vs_xla_cpu_1t"] = round(xla_cpu_1t / sec_best, 2)
+
+    HEADLINE.pop("error", None)
+    HEADLINE.update(hl)
+    HEADLINE["value"] = round(HEADLINE["value"], 3)
+    HEADLINE["vs_baseline"] = (
+        round(cpu_p / sec_best, 2) if cpu_p else 1.0
+    )
+    print(json.dumps(HEADLINE), flush=True)
+
+    # ================= config 1: face single-image ======================
+    if guard(1, "face single-image", 150):
+        try:
+            det_f = PartsBasedDetector(
+                face, buckets_per_octave=bpo(face), **kw
+            )
+            sec_f = time_fn(det_f.detect_fn(IMSIZE), im, 10)
+            cpu_f = native_cpu_baseline("face_native_cpu_sec", face, im)
+            emit(
+                1,
+                "face VGA single-image detect throughput (1 chip)",
+                1.0 / sec_f,
+                "images/sec",
+                (cpu_f / sec_f) if cpu_f else None,
+                baseline=(
+                    "native C++ CPU serving path, THIS host (nproc=1, "
+                    "single-core)"
+                ),
+            )
+        except Exception as e:
+            print(
+                json.dumps({"config": 1, "error": repr(e)[:200]}),
+                flush=True,
+            )
+
+    # ============ config 4: 64-image batched throughput =================
+    # Serving path: async dispatch of the serving-profile single-image
+    # program per image + ONE pipelined device_get over all outputs
+    # (detect_many default). The single-image program keeps the chip
+    # ~95%+ occupied, so fused vmap adds only batched-gather glue
+    # (tools/batch64_probe.py); PBD_BENCH_MICROBATCH>1 opts into the
+    # fused vmap program instead.
+    if guard(4, "batch64", 60):
+        try:
+            use_hybrid = sec_h is not None and parity_ok
+            fn_b = fn_h if use_hybrid else fn_p
+            sec_single = sec_h if use_hybrid else sec_p
+            micro = int(os.environ.get("PBD_BENCH_MICROBATCH", "1"))
+            nimg = 64
+            if micro == 1:
+                # honest serving: 64 DISTINCT uint8 camera frames — each
+                # pays its wire transfer on the execute path (uint8 = 4x
+                # less wire than f32; tools/stream_probe.py). chip_rate
+                # below isolates pure chip throughput with a
+                # device-resident input.
+                frames64 = [
+                    np.clip(im + float(i), 0, 255).astype(np.uint8)
+                    for i in range(nimg)
+                ]
+                warm8 = fn_b(jax.device_put(frames64[0]))
+                jax.block_until_ready(warm8)
+                _ = np.asarray(warm8[1])  # real host read (see time_fn)
+                t0 = time.perf_counter()
+                outs = [fn_b(jax.device_put(f)) for f in frames64]
+                outs = jax.device_get(outs)
+                sec_b = (time.perf_counter() - t0) / nimg
+                imd = jax.device_put(im)
+                t0 = time.perf_counter()
+                outs = [fn_b(imd) for _ in range(nimg)]
+                outs = jax.device_get(outs)
+                sec_chip = (time.perf_counter() - t0) / nimg
+            else:
+                det_src = det_h if use_hybrid else det_p
+                bfn = det_src.detect_batch_fn(IMSIZE, micro)
+                batch = jax.device_put(
+                    np.stack([im] * micro)
+                    + rng.rand(micro, 1, 1, 1).astype(np.float32)
+                )
+                out = bfn(batch)
+                jax.block_until_ready(out)
+                _ = np.asarray(out[1])
+                t0 = time.perf_counter()
+                outs = [bfn(batch) for _ in range(nimg // micro)]
+                outs = jax.device_get(outs)
+                sec_b = (time.perf_counter() - t0) / nimg
+                sec_chip = sec_b
+            emit(
+                4,
+                "person26 VGA 64-image batched throughput (1 chip)",
+                1.0 / sec_b,
+                "images/sec",
+                sec_single / sec_b,
+                baseline=(
+                    "single-image rate of the same serving profile "
+                    "(batching gain)"
+                ),
+                profile=(
+                    "hybrid bf16+fp32-rerank" if use_hybrid else "f32"
+                ),
+                microbatch=micro,
+                chip_rate_resident_input=round(1.0 / sec_chip, 3),
+                note=(
+                    "64 distinct uint8 frames, async single-image "
+                    "dispatch + one pipelined readback (each fresh frame "
+                    "pays its wire transfer on the tunneled execute "
+                    "path); chip_rate_resident_input isolates pure chip "
+                    "throughput"
+                ),
+            )
+        except Exception as e:
+            print(
+                json.dumps({"config": 4, "error": repr(e)[:200]}),
+                flush=True,
+            )
+
+    # ========= config 5: RGB-D depth-consistency rescoring ==============
+    if guard(5, "rgbd stream", 240):
+        try:
+            from partsbaseddetector_tpu.depth import DepthGate
+
+            person_rgbd = make_person_like_model()
+            person_rgbd.thresh = -1e9  # keep candidates for the filter
+            # both depth stages run: the device-side per-scale
+            # plausible-depth response gate (the intended
+            # SearchSpacePruning::filterResponseByDepth) inside the
+            # jitted program, and the device candidate-consistency keep
+            # mask (ops/depth_device.py) — no host depth pass
+            det_d = PartsBasedDetector(
+                person_rgbd,
+                max_detections=16,
+                buckets_per_octave=2,
+                device_depth_filter=True,
+                depth_gate=DepthGate(
+                    object_width_m=0.6, fx=10.0, tolerance=0.5
+                ),
+            )
+            depth = (1.0 + rng.rand(*IMSIZE)).astype(np.float32)
+            im8 = np.clip(im, 0, 255).astype(np.uint8)
+            det_d.detect(im8, depth)  # warm the uint8-input program
+            iters_d = 20
+            frames = [
+                (
+                    np.clip(im + float(i), 0, 255).astype(np.uint8),
+                    depth + 0.01 * i,
+                )
+                for i in range(iters_d)
+            ]
+            # one throwaway pass: worker-thread spin-up + allocator
+            # warm-up (~6 ms/frame) is not steady-state serving
+            for _ in det_d.detect_stream(
+                frames[:8], lookahead=4, workers=2, readback_batch=2
+            ):
+                pass
+            # MEDIAN of up to 3 timed passes (budget permitting), with
+            # min/max reported: the tunnel RTT jitters run-to-run (docs
+            # report 17.6-38.5 img/s across identical runs); median +
+            # spread reports the pipeline honestly instead of best-of-3
+            secs_d = []
+            npass = 3 if remaining() > 60 else 1
+            for _ in range(npass):
+                t0 = time.perf_counter()
+                for cands in det_d.detect_stream(
+                    frames, lookahead=4, workers=2, readback_batch=2
+                ):
+                    pass
+                secs_d.append((time.perf_counter() - t0) / iters_d)
+                if remaining() < 30:
+                    break
+            sec_d = float(np.median(secs_d))
+            emit(
+                5,
+                "person26 VGA RGB-D detect+depth-rescore throughput "
+                "(1 chip)",
+                1.0 / sec_d,
+                "images/sec",
+                (cpu_p / sec_d) if cpu_p else None,
+                baseline=(
+                    "native C++ CPU serving path (RGB-only), THIS host "
+                    "(single-core)"
+                ),
+                candidates=len(cands),
+                runs=len(secs_d),
+                aggregation="median",
+                run_rates=[round(1.0 / s, 1) for s in secs_d],
+                rate_min=round(1.0 / max(secs_d), 1),
+                rate_max=round(1.0 / min(secs_d), 1),
+                response_gate=True,
+            )
+        except Exception as e:
+            print(
+                json.dumps({"config": 5, "error": repr(e)[:200]}),
+                flush=True,
+            )
+
+    # ========== config 3: Fourier engine parity + timing ================
+    if guard(3, "fourier engine", 300):
+        try:
+            det_ff = PartsBasedDetector(
+                person,
+                conv_engine="fourier",
+                buckets_per_octave=bpo(person),
+                **kw,
+            )
+            sec_ff = time_fn(det_ff.detect_fn(IMSIZE), im, 10)
+            # parity A/B on real detections: low-threshold pair at
+            # quarter size (the thresh=100 timing pipelines yield no
+            # valid candidates, so their masked scores are all -inf and
+            # say nothing about parity)
+            dscore, masks_eq, ncand = float("nan"), None, 0
+            if guard(3, "fourier parity", 120):
+                person_lo = make_person_like_model()
+                person_lo.thresh = -1e9
+                im_small = im[: SMALL[0], : SMALL[1]]
+                kw_lo = dict(
+                    max_detections=64,
+                    buckets_per_octave=bpo(person_lo),
+                )
+                o_sp = PartsBasedDetector(person_lo, **kw_lo).detect_fn(
+                    SMALL
+                )(im_small)
+                o_ff = PartsBasedDetector(
+                    person_lo, conv_engine="fourier", **kw_lo
+                ).detect_fn(SMALL)(im_small)
+                v_sp, v_ff = np.asarray(o_sp[3]), np.asarray(o_ff[3])
+                both = v_sp & v_ff
+                dscore = (
+                    float(
+                        np.max(
+                            np.abs(
+                                np.asarray(o_sp[1])[both]
+                                - np.asarray(o_ff[1])[both]
+                            )
+                        )
+                    )
+                    if both.any()
+                    else float("nan")
+                )
+                masks_eq = bool((v_sp == v_ff).all())
+                ncand = int(both.sum())
+            emit(
+                3,
+                "person26 VGA Fourier-engine detect throughput (1 chip)",
+                1.0 / sec_ff,
+                "images/sec",
+                sec_p / sec_ff,
+                baseline="spatial f32 engine rate (engine A/B)",
+                parity_max_abs_score_delta=(
+                    round(dscore, 7) if np.isfinite(dscore) else None
+                ),
+                parity_valid_masks_equal=masks_eq,
+                parity_candidates=ncand,
+                note=(
+                    "cached conjugate filter spectra (the intended "
+                    "FourierConvolutionEngine::setFilters state) baked "
+                    "as program constants; the engine is HBM-bound on "
+                    "per-(scale,filter) spectra materialization "
+                    "(tools/fft_microbench.py: the (S*H*Wf,C)x(C,F) "
+                    "complex contraction moves ~8x the spatial conv's "
+                    "bytes at these filter sizes), so <1x spatial is the "
+                    "architectural ceiling at 5x5 filters, not a tuning "
+                    "gap"
+                ),
+            )
+        except Exception as e:
+            print(
+                json.dumps({"config": 3, "error": repr(e)[:200]}),
+                flush=True,
+            )
+
+    # ===== config 6 (extra): TPU-native training-step throughput ========
     # The reference's training loop runs entirely on CPU MEX kernels
     # (matlab/learning/train.m:96-106 mines negatives with detect.m; the
     # QP-faithful twin of that path is train/latent.py). This framework
@@ -323,98 +599,75 @@ def main():
     # — HOG, conv, DTs, tree DP forward AND backward (custom VJP through
     # the Pallas DT kernel) — on the 26-part person model, batch 8 at
     # 240x320 with GT-constrained latent positive placements.
-    if os.environ.get("PBD_BENCH_TRAIN", "1") != "0":
-        import jax.numpy as jnp
+    if os.environ.get("PBD_BENCH_TRAIN", "1") != "0" and guard(
+        6, "train step", 420
+    ):
+        try:
+            import jax.numpy as jnp
 
-        from partsbaseddetector_tpu.models.model import pack_model
-        from partsbaseddetector_tpu.train.sgd import (
-            batch_root_masks,
-            make_train_step,
-            model_params,
-        )
+            from partsbaseddetector_tpu.models.model import pack_model
+            from partsbaseddetector_tpu.train.sgd import (
+                batch_root_masks,
+                make_train_step,
+                model_params,
+            )
 
-        tr_size, B = (240, 320), 8
-        person_tr = make_person_like_model()
-        packed_tr = pack_model(person_tr)
-        step, opt = make_train_step(packed_tr, tr_size, latent=True)
-        params = model_params(person_tr)
-        opt_state = opt.init(params)
-        imgs = jnp.asarray(
-            rng.rand(B, *tr_size, 3).astype(np.float32) * 255.0
-        )
-        labels = jnp.asarray([1.0, -1.0] * (B // 2))
-        bboxes = np.tile([40.0, 40.0, 280.0, 200.0], (B, 1))
-        masks = batch_root_masks(packed_tr, tr_size, bboxes)
-        jit_step = jax.jit(step)
-        params1, opt_state1, loss = jit_step(
-            params, opt_state, imgs, masks, labels
-        )
-        jax.block_until_ready(loss)
-        _ = float(loss)  # real host read (see time_fn)
-        nsteps = 10
-        t0 = time.perf_counter()
-        p, s = params1, opt_state1
-        for _ in range(nsteps):
-            p, s, loss = jit_step(p, s, imgs, masks, labels)
-        final_loss = float(loss)  # syncs the chain
-        sec_t = (time.perf_counter() - t0) / nsteps
-        emit(
-            6,
-            "person26 latent-SSVM training throughput (1 chip, 240x320)",
-            B / sec_t,
-            "images/sec",
-            None,
-            baseline=(
-                "no reference counterpart on accelerators (train.m "
-                "runs on CPU MEX kernels)"
-            ),
-            batch=B,
-            step_ms=round(sec_t * 1e3, 2),
-            loss_finite=bool(np.isfinite(final_loss)),
-        )
-
-    # ---- config 2 (HEADLINE, last): person26 single-image ----------------
-    # per-op-family device-time attribution from a jax.profiler trace
-    # (in-program numbers; wall-clock timing of prefix programs on the
-    # tunneled backend mostly measures dispatch RTT, not the chip)
-    from partsbaseddetector_tpu.utils.profiling import device_op_breakdown
-
-    op_ms = device_op_breakdown(fn_p, jax.device_put(im), iters=5)
-
-    # XLA's own FLOP estimate for the full program -> achieved FLOP/s
-    flops = None
-    try:
-        ca = fn_p.lower(im).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        pass
-
-    xla_cpu_1t = _cache().get("cpu_sec_per_image")
-    extra = dict(
-        baseline="native C++ CPU serving path, THIS host (nproc=1, single-core)",
-        caveat=(
-            "single-core host: on a ~16-core box the CPU baseline would "
-            "be ~10-16x faster, shrinking vs_baseline accordingly"
-        ),
-        device_op_ms=op_ms,
-        latency_ms=round(sec_p * 1e3, 2),
-    )
-    if xla_cpu_1t:
-        extra["vs_xla_cpu_1t"] = round(xla_cpu_1t / sec_p, 2)
-    if flops:
-        extra["achieved_gflops"] = round(flops / sec_p / 1e9, 1)
-        extra["device"] = jax.devices()[0].device_kind
-    emit(
-        2,
-        "person26 VGA single-image detect throughput (1 chip)",
-        1.0 / sec_p,
-        "images/sec",
-        (cpu_p / sec_p) if cpu_p else None,
-        **extra,
-    )
+            tr_size, B = (240, 320), 8
+            person_tr = make_person_like_model()
+            packed_tr = pack_model(person_tr)
+            step, opt = make_train_step(packed_tr, tr_size, latent=True)
+            params = model_params(person_tr)
+            opt_state = opt.init(params)
+            imgs = jnp.asarray(
+                rng.rand(B, *tr_size, 3).astype(np.float32) * 255.0
+            )
+            labels = jnp.asarray([1.0, -1.0] * (B // 2))
+            bboxes = np.tile([40.0, 40.0, 280.0, 200.0], (B, 1))
+            masks = batch_root_masks(packed_tr, tr_size, bboxes)
+            jit_step = jax.jit(step)
+            params1, opt_state1, loss = jit_step(
+                params, opt_state, imgs, masks, labels
+            )
+            jax.block_until_ready(loss)
+            _ = float(loss)  # real host read (see time_fn)
+            nsteps = 10
+            t0 = time.perf_counter()
+            p, s = params1, opt_state1
+            for _ in range(nsteps):
+                p, s, loss = jit_step(p, s, imgs, masks, labels)
+            final_loss = float(loss)  # syncs the chain
+            sec_t = (time.perf_counter() - t0) / nsteps
+            emit(
+                6,
+                "person26 latent-SSVM training throughput (1 chip, "
+                "240x320)",
+                B / sec_t,
+                "images/sec",
+                None,
+                baseline=(
+                    "no reference counterpart on accelerators (train.m "
+                    "runs on CPU MEX kernels)"
+                ),
+                batch=B,
+                step_ms=round(sec_t * 1e3, 2),
+                loss_finite=bool(np.isfinite(final_loss)),
+            )
+        except Exception as e:
+            print(
+                json.dumps({"config": 6, "error": repr(e)[:200]}),
+                flush=True,
+            )
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # the headline fallback still prints below
+        print(
+            json.dumps({"fatal": repr(e)[:300]}), flush=True
+        )
+    finally:
+        # the driver parses the LAST JSON line: always the headline
+        HEADLINE["elapsed_s"] = round(time.perf_counter() - T0, 1)
+        print(json.dumps(HEADLINE), flush=True)
+    sys.exit(0)

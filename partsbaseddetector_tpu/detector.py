@@ -518,9 +518,23 @@ class PartsBasedDetector:
                 rmasks = depth_response_masks(
                     depth, plan, spec, gate, self.dtype
                 )
+            feats32 = None
+            if rerank:
+                # build the HOG pyramid ONCE in fp32; the low-precision
+                # pipeline consumes its cast, and the fp32 re-score reads
+                # the same stacks — feature building is never paid twice
+                # (HOG is ~half of device time). The cast features make
+                # the bf16 scores strictly closer to fp32 than a bf16
+                # pyramid would, and the rerank restores exact fp32 at
+                # the top-k placements either way.
+                from .ops.pyramid import build_pyramid_features
+
+                feats32 = build_pyramid_features(
+                    im.astype(jnp.float32), plan, spec
+                )
             scores = root_scores(
                 im, packed, plan, engine=self.conv_engine, dtype=self.dtype,
-                response_masks=rmasks,
+                response_masks=rmasks, features=feats32,
             )
             boxes_l, scores_l, mix_l, valid_l, comp_l = [], [], [], [], []
             bid_l, si_l, xs_l, ys_l = [], [], [], []
@@ -650,15 +664,17 @@ class PartsBasedDetector:
             if rerank:
                 # select by RAW root score (thresholding moves to the
                 # fp32 re-score: a candidate the bf16 pipeline puts just
-                # below thresh may be above it in fp32)
+                # below thresh may be above it in fp32).
+                # isfinite(top) identifies real placements BECAUSE this
+                # serving path always calls root_scores with params=None,
+                # whose masking value is -inf (pipeline.root_scores:
+                # `neg = -1e10 if params is not None else -inf`). Anyone
+                # threading traced params through a rerank detector must
+                # thread backtrack's valid flags here instead.
                 top, order = jax.lax.top_k(scores, max_det)
                 real = jnp.isfinite(top)
-                from .ops.pyramid import build_pyramid_features
                 from .ops.rescore import rescore_placements
 
-                feats32 = build_pyramid_features(
-                    im.astype(jnp.float32), plan, spec
-                )
                 sc32, bx32 = rescore_placements(
                     feats32,
                     jnp.asarray(packed.filters, jnp.float32),

@@ -44,6 +44,14 @@ def filter_responses(features: jax.Array, filters: jax.Array) -> jax.Array:
     )
 
 
+# spectra memo: keyed on (id(filters), h, w). The cached value holds a
+# reference to the filters array itself, so its id() can never be
+# recycled while the entry lives — the cache is correct, not just
+# probabilistic. Bounded: one model's filter bank spans a handful of
+# (h, w) bucket shapes per image size.
+_SPECTRA_CACHE: dict = {}
+
+
 def fft_filter_spectra(
     filters: "np.ndarray", h: int, w: int
 ) -> "np.ndarray":
@@ -54,11 +62,20 @@ def fft_filter_spectra(
     in float64 and rounded once to complex64, so the baked constant is
     the best c64 representation of the true spectrum.
 
+    Memoized per (filters identity, h, w): retracing the serving program
+    (new image shape, new engine, vmap batch) reuses the spectra instead
+    of paying the O(F*C*HW log HW) host FFT on every trace.
+
     filters: (F, fh, fw, C) host array. Returns (h, wf, C, F) complex64,
     conjugated and transposed for the MXU contraction in
     filter_responses_fft.
     """
     import numpy as np
+
+    key = (id(filters), int(h), int(w))
+    hit = _SPECTRA_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
 
     filt_f = np.conj(
         np.fft.rfft2(
@@ -66,9 +83,11 @@ def fft_filter_spectra(
             s=(h, w),
         )
     )  # (F, C, h, wf)
-    return np.ascontiguousarray(
+    out = np.ascontiguousarray(
         np.transpose(filt_f, (2, 3, 1, 0))
     ).astype(np.complex64)
+    _SPECTRA_CACHE[key] = (filters, out)
+    return out
 
 
 def filter_responses_fft(

@@ -123,6 +123,7 @@ def root_scores(
     with_tables: bool = True,
     remat: bool = False,
     response_masks: Optional[List[jax.Array]] = None,
+    features: Optional[List[jax.Array]] = None,
 ) -> List[BucketScores]:
     """Run HOG pyramid -> responses -> tree DP for every (bucket,
     component). params (optional) = {'filters', 'defs', 'biases'} traced
@@ -132,15 +133,21 @@ def root_scores(
     miscompiles on the CPU backend). response_masks (optional): one
     (S_b, Hr, Wr) bool array per bucket (e.g. depth_response_masks);
     False cells are masked to the same neg value as the valid-extent
-    masking, composing with it."""
+    masking, composing with it. features (optional): precomputed
+    per-bucket HOG stacks (already in `dtype`) — the hybrid-precision
+    serving path builds the pyramid ONCE in fp32 and feeds the bf16
+    cast here, so feature building is never paid twice."""
     spec = packed.spec
     conv = ENGINES[engine]
     if engine == "spatial" and params is None:
         # inference: the Pallas implicit-GEMM kernel on TPU (1.8x the
         # XLA conv lowering); training keeps the differentiable XLA conv
         conv = filter_responses_infer
-    im = im.astype(dtype)
-    feats = build_pyramid_features(im, plan, spec)
+    if features is None:
+        im = im.astype(dtype)
+        feats = build_pyramid_features(im, plan, spec)
+    else:
+        feats = [f.astype(dtype) for f in features]
     filters = (
         params["filters"].astype(dtype)
         if params is not None

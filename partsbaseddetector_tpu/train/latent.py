@@ -58,6 +58,8 @@ def train(
     seed: int = 0,
     verbose: bool = False,
     miner: str = "tpu",
+    exhaust_negatives: int = 0,
+    qp_memory_gb: Optional[float] = None,
 ) -> Model:
     """Train (or latently retrain) a model (train.m).
 
@@ -70,11 +72,45 @@ def train(
     arguments (train/detect_tpu.py — one compile per image shape,
     reused across iterations); "reference" keeps the loop-level NumPy
     pipeline (the exact train.m cost model, useful as an oracle).
+
+    exhaust_negatives: extra re-mining passes per negative image. The
+    miner returns a score-sorted top-K (static shapes for the jitted
+    top_k), so one pass on a large image at interval 2 can miss
+    above-threshold placements beyond K — a bounded residual of the
+    reference's write-every-placement scan (detect.m:121-137). With
+    exhaust_negatives=N, after the interleaved re-optimization each
+    image is re-mined against the UPDATED weights up to N more times,
+    writing only placements not yet seen, until a pass yields nothing
+    new. Default 0: the residual matters mainly for tie-heavy
+    degenerate inits, which the warped-positive stage resolves before
+    latent rounds run (see DESIGN.md "mining semantics"); leaving it
+    off keeps per-image mining single-pass like train.m's cost model.
+
+    qp_memory_gb: when set, the example cache is sized from this memory
+    budget with float32 block-sparse storage instead of a fixed nmax —
+    the reference's scaling engineering (train.m:44-67 computes
+    nmax = budget / sparselen(model) and stores single-precision
+    block-sparse columns; qp_one_sparse.cc walks them). A person26-dim
+    layout fits >5k mined examples in <1 GB this way; the dense float64
+    default is the small-model oracle.
     """
     layout = ParamLayout.build(model)
-    qp = QPSolver(
-        layout, nmax=nmax, cpos=c_svm * wpos, cneg=c_svm, seed=seed
-    )
+    if qp_memory_gb is not None:
+        from .qp import example_sparselen
+
+        nnz, _ = example_sparselen(model)
+        qp = QPSolver(
+            layout,
+            memory_gb=qp_memory_gb,
+            example_nnz=nnz,
+            cpos=c_svm * wpos,
+            cneg=c_svm,
+            seed=seed,
+        )
+    else:
+        qp = QPSolver(
+            layout, nmax=nmax, cpos=c_svm * wpos, cneg=c_svm, seed=seed
+        )
     qp.set_w_from_model_vec(layout.model_to_vec(model))
 
     if miner not in ("tpu", "reference"):
@@ -186,43 +222,60 @@ def train(
         ub_run = max(qp.ub, 0.0) if np.isfinite(qp.ub) else 0.0
         for i, ex in enumerate(negatives):
             im = _imread(ex)
-            dets = mine(im, thresh=-1.0)
             feats = None
-            wrote = 0
-            for d in dets[:max_neg_per_image]:
-                if qp.full:
+            seen = set()  # placements already written for this image
+            for mine_pass in range(1 + max(0, exhaust_negatives)):
+                dets = mine(im, thresh=-1.0)
+                wrote = 0
+                for d in dets[:max_neg_per_image]:
+                    if qp.full:
+                        break
+                    key = (
+                        d["level"],
+                        d["component"],
+                        int(d["xs"][0]),
+                        int(d["ys"][0]),
+                    )
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    if feats is None:
+                        feats, _, _, _ = feature_pyramid(im, model)
+                    pl = Placement(
+                        level=d["level"],
+                        component=d["component"],
+                        xs=d["xs"],
+                        ys=d["ys"],
+                        mixtures=d["mixtures"],
+                    )
+                    phi = placement_feature(model, layout, feats, pl)
+                    qp.write(
+                        phi,
+                        (-1, i + 1, d["level"], int(d["xs"][0]),
+                         int(d["ys"][0]))[:5],
+                        label=-1,
+                    )
+                    # running upper-bound estimate (detect.m:135)
+                    ub_run += c_svm * max(1.0 + d["score"], 0.0)
+                    wrote += 1
+                if wrote and (
+                    qp.lb < 0
+                    or ub_run <= 0
+                    or 1 - qp.lb / ub_run > tol
+                    or qp.full
+                ):
+                    if qp.lb < 0 or qp.full:
+                        qp.opt(tol=tol)
+                        qp.prune()
+                    else:
+                        qp.one()
+                    ub_run = max(qp.ub, 0.0) if np.isfinite(qp.ub) else 0.0
+                    model = adopt(layout.vec_to_model(qp.actual_w(), model))
+                if wrote == 0 or qp.full:
+                    # re-mining against the re-optimized weights found
+                    # nothing new above threshold: the top-K residual of
+                    # write-every-placement is exhausted for this image
                     break
-                if feats is None:
-                    feats, _, _, _ = feature_pyramid(im, model)
-                pl = Placement(
-                    level=d["level"],
-                    component=d["component"],
-                    xs=d["xs"],
-                    ys=d["ys"],
-                    mixtures=d["mixtures"],
-                )
-                phi = placement_feature(model, layout, feats, pl)
-                qp.write(
-                    phi,
-                    (-1, i + 1, d["level"], int(d["xs"][0]), int(d["ys"][0]))[:5],
-                    label=-1,
-                )
-                # running upper-bound estimate (detect.m:135)
-                ub_run += c_svm * max(1.0 + d["score"], 0.0)
-                wrote += 1
-            if wrote and (
-                qp.lb < 0
-                or ub_run <= 0
-                or 1 - qp.lb / ub_run > tol
-                or qp.full
-            ):
-                if qp.lb < 0 or qp.full:
-                    qp.opt(tol=tol)
-                    qp.prune()
-                else:
-                    qp.one()
-                ub_run = max(qp.ub, 0.0) if np.isfinite(qp.ub) else 0.0
-                model = adopt(layout.vec_to_model(qp.actual_w(), model))
             if qp.full:
                 # cache is all support vectors even after pruning
                 # (train.m:104-107)

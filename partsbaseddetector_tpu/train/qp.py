@@ -1,10 +1,8 @@
 """Dual coordinate-descent QP for the structural SVM.
 
-Dense NumPy re-expression of the reference's global QP cache and
-solver (matlab/learning/qp_write.m, qp_one.m, qp_opt.m, qp_prune.m,
-qp_refresh.m and the qp_one_sparse.cc MEX kernel). The block-sparse
-example encoding there is a CPU-memory optimization; the semantics kept
-here are:
+NumPy re-expression of the reference's global QP cache and solver
+(matlab/learning/qp_write.m, qp_one.m, qp_opt.m, qp_prune.m,
+qp_refresh.m and the qp_one_sparse.cc MEX kernel). Semantics kept:
 
   - standard-form substitution v = (w - w0) * wreg with
     x' = C * (+-phi) / wreg, b' = C * (1 - w0 . (+-phi)) so the dual box
@@ -20,31 +18,195 @@ here are:
     bound computed from per-id max slacks (qp_opt.m computeloss);
   - prune: drop non-support examples when the cache fills, keeping
     fixed examples (warped positives) pinned.
+
+Two example storages:
+
+  - "dense": float64 (nmax, dim) rows — exact, the oracle default for
+    small layouts and the parity tests.
+  - "sparse": the scaling storage matching the reference's engineering.
+    train.m:44-67 sizes its cache from a memory budget
+    (nmax = round(maxsize*.25e9/sparselen(model)): budget bytes over
+    bytes per block-sparse single-precision example) and stores each
+    example as float32 block-sparse (sparse2dense.m encodes
+    [nblocks; (i1,i2,values...)...]; qp_one_sparse.cc:20-90 score/dot/
+    add walk the blocks, accumulating in double). Here each example
+    keeps (int32 indices, float32 values) of its nonzero support —
+    same 4-byte payloads, same f32-storage/f64-accumulation split —
+    because one placement touches only its chosen mixtures' filter,
+    def and bias blocks, ~6x fewer entries than the dense person26
+    layout. QPSolver(memory_gb=...) reproduces the budget sizing.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 from .layout import ParamLayout
 
 
+def example_sparselen(model) -> Tuple[int, int]:
+    """Worst-case (nnz, nblocks) of one placement's feature over the
+    model's components (train.m:207-239 sparselen): per part, one bias
+    entry + one filter block (largest mixture) + one 4-wide def block.
+    Used to size the budgeted cache BEFORE any example exists."""
+    best_nnz, best_blocks = 1, 1
+    for c in range(model.ncomponents):
+        filterid = model.filterid[c]
+        nnz, nblocks = 0, 0
+        for p in range(model.nparts(c)):
+            nnz += 1  # bias indicator
+            nblocks += 1
+            fids = np.asarray(filterid[p]).ravel()
+            nnz += max(int(model.filters[int(f)].size) for f in fids)
+            nblocks += 1
+            if p > 0:
+                nnz += 4  # def block
+                nblocks += 1
+        best_nnz = max(best_nnz, nnz)
+        best_blocks = max(best_blocks, nblocks)
+    return best_nnz, best_blocks
+
+
+class _DenseRows:
+    """float64 (nmax, dim) example rows — the exact oracle storage."""
+
+    def __init__(self, nmax: int, dim: int):
+        self.x = np.zeros((nmax, dim), dtype=np.float64)
+
+    def set(self, i: int, vec: np.ndarray) -> float:
+        self.x[i] = vec
+        return float(vec @ vec)
+
+    def dot_w(self, i: int, w: np.ndarray) -> float:
+        return float(self.x[i] @ w)
+
+    def dot_rows(self, i: int, j: int) -> float:
+        return float(self.x[i] @ self.x[j])
+
+    def axpy(self, i: int, coef: float, w: np.ndarray) -> None:
+        w += coef * self.x[i]
+
+    def matvec(self, idx: np.ndarray, w: np.ndarray) -> np.ndarray:
+        return self.x[idx] @ w
+
+    def accumulate(self, order: np.ndarray, a: np.ndarray) -> np.ndarray:
+        return self.x[order].T @ a[order]
+
+    def reorder(self, keep: np.ndarray) -> None:
+        self.x[: len(keep)] = self.x[keep]
+
+    @property
+    def nbytes(self) -> int:
+        return self.x.nbytes
+
+
+class _SparseRows:
+    """float32 values + int32 indices per example — the reference's
+    single-precision block-sparse cache (qp_one_sparse.cc) with flat
+    index+value payloads; all reductions accumulate in float64."""
+
+    def __init__(self, nmax: int, dim: int):
+        self.idx: List[Optional[np.ndarray]] = [None] * nmax
+        self.val: List[Optional[np.ndarray]] = [None] * nmax
+        self.dim = dim
+        self._bytes = 0
+
+    def set(self, i: int, vec: np.ndarray) -> float:
+        nz = np.flatnonzero(vec)
+        if self.idx[i] is not None:
+            self._bytes -= self.idx[i].nbytes + self.val[i].nbytes
+        self.idx[i] = nz.astype(np.int32)
+        # one rounding to f32 at write time (train.m stores qp.x single)
+        self.val[i] = vec[nz].astype(np.float32)
+        self._bytes += self.idx[i].nbytes + self.val[i].nbytes
+        v = self.val[i].astype(np.float64)
+        return float(v @ v)
+
+    def dot_w(self, i: int, w: np.ndarray) -> float:
+        return float(w[self.idx[i]] @ self.val[i].astype(np.float64))
+
+    def dot_rows(self, i: int, j: int) -> float:
+        # sorted-index intersection, the qp_one_sparse.cc:31-72 dot
+        common, ia, ib = np.intersect1d(
+            self.idx[i], self.idx[j], assume_unique=True,
+            return_indices=True,
+        )
+        if len(common) == 0:
+            return 0.0
+        return float(
+            self.val[i][ia].astype(np.float64)
+            @ self.val[j][ib].astype(np.float64)
+        )
+
+    def axpy(self, i: int, coef: float, w: np.ndarray) -> None:
+        # indices are unique: fancy in-place add is exact
+        w[self.idx[i]] += coef * self.val[i].astype(np.float64)
+
+    def matvec(self, idx: np.ndarray, w: np.ndarray) -> np.ndarray:
+        return np.asarray([self.dot_w(int(i), w) for i in idx])
+
+    def accumulate(self, order: np.ndarray, a: np.ndarray) -> np.ndarray:
+        w = np.zeros(self.dim)
+        for i in order:
+            self.axpy(int(i), float(a[i]), w)
+        return w
+
+    def reorder(self, keep: np.ndarray) -> None:
+        n = len(keep)
+        self.idx[:n] = [self.idx[k] for k in keep]
+        self.val[:n] = [self.val[k] for k in keep]
+        for j in range(n, len(self.idx)):
+            if self.idx[j] is not None:
+                self._bytes -= self.idx[j].nbytes + self.val[j].nbytes
+            self.idx[j] = None
+            self.val[j] = None
+        self._bytes = sum(
+            self.idx[j].nbytes + self.val[j].nbytes
+            for j in range(n)
+            if self.idx[j] is not None
+        )
+
+    @property
+    def nbytes(self) -> int:
+        return self._bytes
+
+
 class QPSolver:
     def __init__(
         self,
         layout: ParamLayout,
-        nmax: int,
+        nmax: Optional[int] = None,
         cpos: float = 0.002,
         cneg: float = 0.002,
         seed: int = 0,
+        storage: str = "dense",
+        memory_gb: Optional[float] = None,
+        example_nnz: Optional[int] = None,
     ):
+        """memory_gb sizes the cache from a budget instead of an example
+        count (train.m:44-67): nmax = budget_bytes / bytes-per-example,
+        with bytes-per-example = 8 * worst-case nnz (int32 index +
+        float32 value per entry; pass example_nnz from
+        example_sparselen(model), else a dense row is assumed). Setting
+        memory_gb implies storage="sparse"."""
         self.layout = layout
         dim = layout.length
+        if memory_gb is not None:
+            storage = "sparse"
+            nnz = int(example_nnz) if example_nnz else dim
+            per_ex = 8 * nnz + 64  # idx+val payload + object overhead
+            nmax = max(10, int(memory_gb * 1e9 / per_ex))
+        if nmax is None:
+            raise ValueError("QPSolver needs nmax or memory_gb")
+        if storage not in ("dense", "sparse"):
+            raise ValueError(f"unknown QP storage: {storage}")
+        self.storage = storage
         self.nmax = int(nmax)
         self.cpos, self.cneg = float(cpos), float(cneg)
-        self.x = np.zeros((self.nmax, dim), dtype=np.float64)
+        rows_cls = _DenseRows if storage == "dense" else _SparseRows
+        self.rows = rows_cls(self.nmax, dim)
         self.b = np.zeros(self.nmax)
         self.d = np.zeros(self.nmax)  # Gram diagonal
         self.a = np.zeros(self.nmax)  # alphas
@@ -64,6 +226,16 @@ class QPSolver:
     def full(self) -> bool:
         return self.n >= self.nmax
 
+    @property
+    def x(self) -> np.ndarray:
+        """Dense example matrix (dense storage only; oracle tests)."""
+        return self.rows.x
+
+    @property
+    def cache_bytes(self) -> int:
+        """Bytes held by the example cache (the budget being enforced)."""
+        return self.rows.nbytes
+
     def write(self, phi: np.ndarray, example_id, label: int, fixed=False) -> bool:
         """Add one example; phi is the raw feature, label +-1
         (qp_write.m standard-form substitution)."""
@@ -72,9 +244,8 @@ class QPSolver:
         c = self.cpos if label > 0 else self.cneg
         s = phi if label > 0 else -phi
         i = self.n
-        self.x[i] = c * s / self.layout.wreg
+        self.d[i] = self.rows.set(i, c * s / self.layout.wreg)
         self.b[i] = c * (1.0 - self.layout.w0 @ s)
-        self.d[i] = self.x[i] @ self.x[i]
         self.a[i] = 0.0
         eid = np.asarray(example_id, dtype=np.int64).ravel()
         self.ids[i, : len(eid)] = eid
@@ -96,7 +267,7 @@ class QPSolver:
         self.w = (wvec - self.layout.w0) * self.layout.wreg
 
     def score(self, idx) -> np.ndarray:
-        return self.x[idx] @ self.w
+        return self.rows.matvec(np.asarray(idx, dtype=np.int64), self.w)
 
     def score_positives(self) -> np.ndarray:
         """Raw (unscaled) scores w.phi of the positive examples
@@ -120,7 +291,7 @@ class QPSolver:
         idx = np.flatnonzero(self.a[: self.n] > 0)
         if len(idx):
             order = idx[np.argsort(self.a[idx], kind="stable")]
-            self.w = self.x[order].T @ self.a[order]
+            self.w = self.rows.accumulate(order, self.a)
             self.l = float(self.b[order] @ self.a[order])
         else:
             self.w = np.zeros_like(self.w)
@@ -158,7 +329,7 @@ class QPSolver:
         for i in idx:
             g = group_of[i]
             ci = g_sum[g]
-            grad = float(self.w @ self.x[i]) - self.b[i]
+            grad = self.rows.dot_w(i, self.w) - self.b[i]
             err[g] = max(err[g], -grad)
 
             if self.a[i] == 0 and grad > 0:
@@ -178,14 +349,14 @@ class QPSolver:
             ):
                 # pairwise exchange within the id block (qp_one.m:96-140)
                 i2 = int(g_holder[g])
-                g2 = float(self.w @ self.x[i2]) - self.b[i2]
+                g2 = self.rows.dot_w(i2, self.w) - self.b[i2]
                 numer = grad - g2
                 if self.a[i] == 0 and numer > 0:
                     numer = 0.0
                     self.sv[i] = False
                 if abs(numer) > 1e-12:
-                    denom = self.d[i] + self.d[i2] - 2 * float(
-                        self.x[i] @ self.x[i2]
+                    denom = self.d[i] + self.d[i2] - 2 * self.rows.dot_rows(
+                        i, i2
                     )
                     da = -numer / max(denom, 1e-12)
                     if da > 0:
@@ -194,7 +365,8 @@ class QPSolver:
                         da = max(max(da, -self.a[i]), self.a[i2] - c)
                     self.a[i] += da
                     self.a[i2] -= da
-                    self.w += da * (self.x[i] - self.x[i2])
+                    self.rows.axpy(i, da, self.w)
+                    self.rows.axpy(i2, -da, self.w)
                     self.w[nn] = np.maximum(self.w[nn], 0)
                     self.l += da * (self.b[i] - self.b[i2])
             elif abs(pg) > 1e-12:
@@ -204,7 +376,7 @@ class QPSolver:
                     max(old - grad / max(self.d[i], 1e-12), 0.0), max_a
                 )
                 da = self.a[i] - old
-                self.w += da * self.x[i]
+                self.rows.axpy(i, da, self.w)
                 self.w[nn] = np.maximum(self.w[nn], 0)
                 self.l += da * self.b[i]
                 g_sum[g] = min(max(ci + da, 0.0), c)
@@ -220,7 +392,9 @@ class QPSolver:
         """0.5||v||^2 + sum of per-id max positive slacks
         (qp_opt.m computeloss)."""
         group_of, ngroups = self._id_groups()
-        slack = self.b[: self.n] - self.x[: self.n] @ self.w
+        slack = self.b[: self.n] - self.rows.matvec(
+            np.arange(self.n), self.w
+        )
         loss = 0.0
         for g in range(ngroups):
             m = slack[group_of == g].max(initial=0.0)
@@ -255,7 +429,8 @@ class QPSolver:
         keep = np.flatnonzero(self.sv[: self.n])
         n = len(keep)
         assert n > 0
-        for arr in (self.x, self.b, self.d, self.a, self.ids, self.sv, self.svfix):
+        self.rows.reorder(keep)
+        for arr in (self.b, self.d, self.a, self.ids, self.sv, self.svfix):
             arr[:n] = arr[keep]
         self.a[n:] = 0
         self.sv[:n] = True
