@@ -518,23 +518,19 @@ class PartsBasedDetector:
                 rmasks = depth_response_masks(
                     depth, plan, spec, gate, self.dtype
                 )
-            feats32 = None
-            if rerank:
-                # build the HOG pyramid ONCE in fp32; the low-precision
-                # pipeline consumes its cast, and the fp32 re-score reads
-                # the same stacks — feature building is never paid twice
-                # (HOG is ~half of device time). The cast features make
-                # the bf16 scores strictly closer to fp32 than a bf16
-                # pyramid would, and the rerank restores exact fp32 at
-                # the top-k placements either way.
-                from .ops.pyramid import build_pyramid_features
-
-                feats32 = build_pyramid_features(
-                    im.astype(jnp.float32), plan, spec
-                )
+            # hybrid-precision structure: HOG + conv run in fp32 (they
+            # are MXU/compute-bound — fp32 conv costs ~3 ms more than
+            # bf16 at person26-VGA), the HBM-bound DT/DP runs in
+            # `dtype`, and the fp32 re-score reconstructs exact f32
+            # scores by gathering ONE response scalar per (candidate,
+            # part) from the fp32 responses (ops/rescore.py — the
+            # feature-patch gather formulation measured ~40 ms/img).
+            resps32: Optional[list] = [] if rerank else None
             scores = root_scores(
                 im, packed, plan, engine=self.conv_engine, dtype=self.dtype,
-                response_masks=rmasks, features=feats32,
+                response_masks=rmasks,
+                conv_dtype=jnp.float32 if rerank else None,
+                collect_responses=resps32,
             )
             boxes_l, scores_l, mix_l, valid_l, comp_l = [], [], [], [], []
             bid_l, si_l, xs_l, ys_l = [], [], [], []
@@ -673,11 +669,10 @@ class PartsBasedDetector:
                 # thread backtrack's valid flags here instead.
                 top, order = jax.lax.top_k(scores, max_det)
                 real = jnp.isfinite(top)
-                from .ops.rescore import rescore_placements
+                from .ops.rescore import rescore_from_responses
 
-                sc32, bx32 = rescore_placements(
-                    feats32,
-                    jnp.asarray(packed.filters, jnp.float32),
+                sc32, bx32 = rescore_from_responses(
+                    resps32,
                     rtables,
                     comps[order],
                     jnp.concatenate(bid_l, axis=0)[order],

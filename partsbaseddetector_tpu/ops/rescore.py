@@ -130,44 +130,26 @@ def build_rescore_tables(
     )
 
 
-def rescore_placements(
-    feats32: List[jax.Array],
-    filters32: jax.Array,
+def _geometry_terms(
     tables: RescoreTables,
-    comps: jax.Array,  # (K,) int32 component per candidate
-    bid: jax.Array,  # (K,) int32 root bucket per candidate
-    si: jax.Array,  # (K,) int32 within-bucket scale
-    xs: jax.Array,  # (K, Pm) int32 grid coords (part's own grid)
-    ys: jax.Array,  # (K, Pm) int32
-    ms: jax.Array,  # (K, Pm) int32 mixtures
+    cidx: jax.Array,  # (K,) int32
+    bid: jax.Array,  # (K,)
+    si: jax.Array,  # (K,)
+    xs: jax.Array,  # (K, Pm)
+    ys: jax.Array,
+    ms: jax.Array,
     box_off_x: int,
     box_off_y: int,
-) -> Tuple[jax.Array, jax.Array]:
-    """Recompute detection scores and part boxes in fp32.
+):
+    """Shared fp32 geometry of a placement: per-child deformation +
+    pairwise-bias score terms, the root bias, part boxes, and the
+    part/mixture gather metadata both appearance paths need.
 
-    feats32: per-bucket (S_b, H_b, W_b, C) fp32 HOG stacks (the same
-    plan the bf16 pipeline used). filters32: (F, bh, bw, C) fp32
-    zero-padded bank. Returns (scores (K,) f32, boxes (K, Pm, 4) f32).
-    Padded candidates produce finite garbage — callers mask by their
-    validity (top_k padding) before use.
-    """
+    Returns (geom (K, Pm) f32 = bias - defcost for children / 0 for the
+    root slot, rootb (K,), boxes (K, Pm, 4), pmask (K, Pm), fid (K, Pm),
+    bb (K, Pm) per-part bucket index, prng (1, Pm))."""
     f32 = jnp.float32
-    k_tot, pm = xs.shape
-    f, bh, bw, ch = filters32.shape
-    nb = len(feats32)
-
-    # flat fp32 feature buffer + static per-bucket geometry
-    flat = jnp.concatenate([ft.reshape(-1) for ft in feats32])
-    sizes = np.asarray([int(np.prod(ft.shape)) for ft in feats32], np.int64)
-    off = np.concatenate([[0], np.cumsum(sizes)[:-1]])
-    h_l = np.asarray([ft.shape[1] for ft in feats32], np.int32)
-    w_l = np.asarray([ft.shape[2] for ft in feats32], np.int32)
-    assert off[-1] + sizes[-1] < 2**31 - 1, "flat feature index fits int32"
-
-    cidx = comps.astype(jnp.int32)
-    prng = jnp.arange(pm, dtype=jnp.int32)[None, :]  # (1, Pm)
-
-    # per-(candidate, part) static tables gathered by component
+    _, pm = xs.shape
     t = lambda a: jnp.asarray(a)
     par = t(tables.parent)[cidx]  # (K, Pm)
     pmask = t(tables.partmask)[cidx]  # (K, Pm) f32
@@ -175,33 +157,7 @@ def rescore_placements(
         t(tables.filterid)[cidx], ms[..., None], axis=2
     )[..., 0]  # (K, Pm)
     ds_p = t(tables.ds)[cidx]  # (K, Pm) int32
-
-    # per-part bucket: ds octaves finer than the root's bucket
-    bb = jnp.clip(bid[:, None] - ds_p * tables.bpo, 0, nb - 1)  # (K, Pm)
-    hb = t(h_l)[bb]
-    wb = t(w_l)[bb]
-    base = (
-        t(off.astype(np.int32))[bb]
-        + ((si[:, None] * hb + ys) * wb + xs) * ch
-    )  # (K, Pm) int32
-
-    # patch gather: (K, Pm, bh, bw, C) from the flat buffer
-    iy = jnp.arange(bh, dtype=jnp.int32)[None, None, :, None, None]
-    ix = jnp.arange(bw, dtype=jnp.int32)[None, None, None, :, None]
-    ic = jnp.arange(ch, dtype=jnp.int32)[None, None, None, None, :]
-    idx = (
-        base[:, :, None, None, None]
-        + (iy * wb[:, :, None, None, None] + ix) * ch
-        + ic
-    )
-    patches = jnp.take(flat, idx, mode="clip")
-    filtsel = filters32[fid]  # (K, Pm, bh, bw, C)
-    app = jnp.einsum(
-        "kpijc,kpijc->kp",
-        patches,
-        filtsel,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (K, Pm) f32
+    prng = jnp.arange(pm, dtype=jnp.int32)[None, :]  # (1, Pm)
 
     # deformation + pairwise bias terms (children only)
     pxs = jnp.take_along_axis(xs, par, axis=1).astype(f32)
@@ -237,10 +193,7 @@ def rescore_placements(
     rootb = jnp.take_along_axis(
         t(tables.root_bias)[cidx], ms[:, :1], axis=1
     )[:, 0]  # (K,)
-
-    child = app + bias_pk - defcost
-    contrib = jnp.where(prng == 0, app, child)  # root handled below
-    scores = (contrib * pmask).sum(axis=1) + rootb
+    geom = jnp.where(prng == 0, 0.0, bias_pk - defcost)
 
     # fp32 part boxes (detect_fast.m:170-175 geometry)
     root_scale = t(tables.bsc_flat)[t(tables.soff)[bid] + si]  # (K,)
@@ -254,7 +207,145 @@ def rescore_placements(
     y2 = y1 + fsz[..., 0] * scale - 1
     boxes = jnp.stack([x1, y1, x2, y2], axis=-1)  # (K, Pm, 4)
     # padded parts replicate the root box (matches detector._build_fn)
-    boxes = jnp.where(
-        (pmask > 0)[..., None], boxes, boxes[:, :1]
+    boxes = jnp.where((pmask > 0)[..., None], boxes, boxes[:, :1])
+
+    # per-part bucket: ds octaves finer than the root's bucket
+    bb = ds_p * tables.bpo  # subtracted from bid by the caller
+    return geom, rootb, boxes, pmask, fid, bb, prng
+
+
+def rescore_placements(
+    feats32: List[jax.Array],
+    filters32: jax.Array,
+    tables: RescoreTables,
+    comps: jax.Array,  # (K,) int32 component per candidate
+    bid: jax.Array,  # (K,) int32 root bucket per candidate
+    si: jax.Array,  # (K,) int32 within-bucket scale
+    xs: jax.Array,  # (K, Pm) int32 grid coords (part's own grid)
+    ys: jax.Array,  # (K, Pm) int32
+    ms: jax.Array,  # (K, Pm) int32 mixtures
+    box_off_x: int,
+    box_off_y: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Recompute detection scores and part boxes in fp32 from FEATURES —
+    the literal w . phi(placement) identity (detect.m:141-146): one
+    patch gather + dot per part.
+
+    This is the semantic reference formulation (and what training-side
+    feature extraction means); serving uses rescore_from_responses,
+    which gathers one precomputed fp32 response scalar per part instead
+    of a (bh, bw, C) patch — the 7.7M-element patch gather measured
+    ~40 ms/img on v5e (tools/rescore_gather_probe.py: TPU gathers do
+    not coalesce the contiguous patch rows), vs microseconds for the
+    scalar gather.
+
+    feats32: per-bucket (S_b, H_b, W_b, C) fp32 HOG stacks (the same
+    plan the bf16 pipeline used). filters32: (F, bh, bw, C) fp32
+    zero-padded bank. Returns (scores (K,) f32, boxes (K, Pm, 4) f32).
+    Padded candidates produce finite garbage — callers mask by their
+    validity (top_k padding) before use.
+    """
+    k_tot, pm = xs.shape
+    f, bh, bw, ch = filters32.shape
+    nb = len(feats32)
+
+    # flat fp32 feature buffer + static per-bucket geometry
+    flat = jnp.concatenate([ft.reshape(-1) for ft in feats32])
+    sizes = np.asarray([int(np.prod(ft.shape)) for ft in feats32], np.int64)
+    off = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    h_l = np.asarray([ft.shape[1] for ft in feats32], np.int32)
+    w_l = np.asarray([ft.shape[2] for ft in feats32], np.int32)
+    assert off[-1] + sizes[-1] < 2**31 - 1, "flat feature index fits int32"
+
+    cidx = comps.astype(jnp.int32)
+    geom, rootb, boxes, pmask, fid, ds_b, prng = _geometry_terms(
+        tables, cidx, bid, si, xs, ys, ms, box_off_x, box_off_y
     )
+    t = lambda a: jnp.asarray(a)
+    bb = jnp.clip(bid[:, None] - ds_b, 0, nb - 1)  # (K, Pm)
+    hb = t(h_l)[bb]
+    wb = t(w_l)[bb]
+    base = (
+        t(off.astype(np.int32))[bb]
+        + ((si[:, None] * hb + ys) * wb + xs) * ch
+    )  # (K, Pm) int32
+
+    # patch gather: (K, Pm, bh, bw, C) from the flat buffer
+    iy = jnp.arange(bh, dtype=jnp.int32)[None, None, :, None, None]
+    ix = jnp.arange(bw, dtype=jnp.int32)[None, None, None, :, None]
+    ic = jnp.arange(ch, dtype=jnp.int32)[None, None, None, None, :]
+    idx = (
+        base[:, :, None, None, None]
+        + (iy * wb[:, :, None, None, None] + ix) * ch
+        + ic
+    )
+    patches = jnp.take(flat, idx, mode="clip")
+    filtsel = filters32[fid]  # (K, Pm, bh, bw, C)
+    app = jnp.einsum(
+        "kpijc,kpijc->kp",
+        patches,
+        filtsel,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (K, Pm) f32
+
+    scores = ((app + geom) * pmask).sum(axis=1) + rootb
+    return scores, boxes
+
+
+def rescore_from_responses(
+    resps32: List[jax.Array],
+    tables: RescoreTables,
+    comps: jax.Array,  # (K,) int32 component per candidate
+    bid: jax.Array,  # (K,) int32 root bucket per candidate
+    si: jax.Array,  # (K,) int32 within-bucket scale
+    xs: jax.Array,  # (K, Pm) int32 grid coords (part's own grid)
+    ys: jax.Array,  # (K, Pm) int32
+    ms: jax.Array,  # (K, Pm) int32 mixtures
+    box_off_x: int,
+    box_off_y: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Recompute detection scores and part boxes in fp32 from the
+    pipeline's own fp32 filter RESPONSES (the hybrid serving path).
+
+    resps32: per-bucket (S_b, Hr, Wr, F) fp32 response stacks — the
+    raw (unmasked) conv outputs root_scores collected. The appearance
+    term of part p is exactly resp32[bucket][si, y, x, filterid], so
+    the whole re-score is K*Pm scalar gathers + fp32 geometry — the
+    score-reconstruction identity of detect.m:141-146 evaluated from
+    responses instead of features. Requires the conv stage to have run
+    in fp32 (root_scores conv_dtype=float32): the reconstruction then
+    EQUALS the f32 pipeline's score for the same placement bit-for-bit
+    up to sum association.
+
+    Returns (scores (K,) f32, boxes (K, Pm, 4) f32). Padded candidates
+    produce finite garbage — callers mask by validity before use.
+    """
+    nb = len(resps32)
+    nf = resps32[0].shape[-1]
+
+    flat = jnp.concatenate(
+        [r.astype(jnp.float32).reshape(-1) for r in resps32]
+    )
+    sizes = np.asarray([int(np.prod(r.shape)) for r in resps32], np.int64)
+    off = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    h_l = np.asarray([r.shape[1] for r in resps32], np.int32)
+    w_l = np.asarray([r.shape[2] for r in resps32], np.int32)
+    assert off[-1] + sizes[-1] < 2**31 - 1, "flat response index fits int32"
+
+    cidx = comps.astype(jnp.int32)
+    geom, rootb, boxes, pmask, fid, ds_b, prng = _geometry_terms(
+        tables, cidx, bid, si, xs, ys, ms, box_off_x, box_off_y
+    )
+    t = lambda a: jnp.asarray(a)
+    bb = jnp.clip(bid[:, None] - ds_b, 0, nb - 1)  # (K, Pm)
+    hb = t(h_l)[bb]
+    wb = t(w_l)[bb]
+    idx = (
+        t(off.astype(np.int32))[bb]
+        + ((si[:, None] * hb + ys) * wb + xs) * nf
+        + fid
+    )  # (K, Pm) int32
+    app = jnp.take(flat, idx, mode="clip")  # (K, Pm) scalar gather
+
+    scores = ((app + geom) * pmask).sum(axis=1) + rootb
     return scores, boxes

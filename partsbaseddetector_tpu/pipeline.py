@@ -124,6 +124,8 @@ def root_scores(
     remat: bool = False,
     response_masks: Optional[List[jax.Array]] = None,
     features: Optional[List[jax.Array]] = None,
+    conv_dtype=None,
+    collect_responses: Optional[List[jax.Array]] = None,
 ) -> List[BucketScores]:
     """Run HOG pyramid -> responses -> tree DP for every (bucket,
     component). params (optional) = {'filters', 'defs', 'biases'} traced
@@ -134,24 +136,31 @@ def root_scores(
     (S_b, Hr, Wr) bool array per bucket (e.g. depth_response_masks);
     False cells are masked to the same neg value as the valid-extent
     masking, composing with it. features (optional): precomputed
-    per-bucket HOG stacks (already in `dtype`) — the hybrid-precision
-    serving path builds the pyramid ONCE in fp32 and feeds the bf16
-    cast here, so feature building is never paid twice."""
+    per-bucket HOG stacks (cast to the conv dtype here).
+
+    conv_dtype (optional): dtype for the HOG pyramid + conv stage when
+    it differs from the DP dtype — the hybrid serving profile runs
+    HOG+conv in float32 (MXU-bound, cheap at fp32) and only the
+    HBM-bound DT/DP in `dtype`, so the fp32 re-score can reconstruct
+    exact f32 scores from the responses. collect_responses (optional):
+    a list the RAW (pre-masking, conv-dtype) per-bucket response stacks
+    are appended to — the rescore_from_responses input."""
     spec = packed.spec
     conv = ENGINES[engine]
     if engine == "spatial" and params is None:
         # inference: the Pallas implicit-GEMM kernel on TPU (1.8x the
         # XLA conv lowering); training keeps the differentiable XLA conv
         conv = filter_responses_infer
+    cdtype = dtype if conv_dtype is None else conv_dtype
     if features is None:
-        im = im.astype(dtype)
+        im = im.astype(cdtype)
         feats = build_pyramid_features(im, plan, spec)
     else:
-        feats = [f.astype(dtype) for f in features]
+        feats = [f.astype(cdtype) for f in features]
     filters = (
-        params["filters"].astype(dtype)
+        params["filters"].astype(cdtype)
         if params is not None
-        else jnp.asarray(packed.filters, dtype)
+        else jnp.asarray(packed.filters, cdtype)
     )
 
     # responses + valid extents for every bucket first (parts with
@@ -173,6 +182,11 @@ def root_scores(
             resp = conv(feats[b], filters, spectra)
         else:
             resp = conv(feats[b], filters)
+        if collect_responses is not None:
+            # raw conv-dtype responses, pre-masking: real placements
+            # never index masked cells, and the rescore gathers scalars
+            collect_responses.append(resp)
+        resp = resp.astype(dtype)
         vh, vw = response_valid_extents(
             plan, bucket, packed.filter_sizes, spec.border
         )
