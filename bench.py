@@ -284,9 +284,12 @@ def main():
         except Exception as e:  # pragma: no cover
             hl["rerank_parity_error"] = repr(e)[:200]
 
-    if sec_h is not None and parity_ok:
-        # the hybrid profile is the serving headline once its parity is
-        # demonstrated in THIS run; the f32 rate stays in rate_f32
+    if sec_h is not None and parity_ok and sec_h < sec_p:
+        # the hybrid profile becomes the serving headline only when it
+        # is (a) parity-demonstrated in THIS run and (b) actually
+        # faster — since the scale-packed DT (compute-bound, f32
+        # in-kernel) the f32 profile usually wins outright and is
+        # exact by construction; both rates are always emitted
         sec_best = sec_h
         hl["value"] = 1.0 / sec_h
         hl["profile"] = "hybrid bf16 pipeline + fp32 top-k rerank"
@@ -365,9 +368,9 @@ def main():
     # fused vmap program instead.
     if guard(4, "batch64", 60):
         try:
-            use_hybrid = sec_h is not None and parity_ok
+            use_hybrid = sec_h is not None and parity_ok and sec_h < sec_p
             fn_b = fn_h if use_hybrid else fn_p
-            sec_single = sec_h if use_hybrid else sec_p
+            sec_resident = sec_h if use_hybrid else sec_p
             micro = int(os.environ.get("PBD_BENCH_MICROBATCH", "1"))
             nimg = 64
             if micro == 1:
@@ -383,6 +386,15 @@ def main():
                 warm8 = fn_b(jax.device_put(frames64[0]))
                 jax.block_until_ready(warm8)
                 _ = np.asarray(warm8[1])  # real host read (see time_fn)
+                # unbatched baseline: what a one-frame-at-a-time client
+                # pays per frame on this backend — put, execute, read
+                # the result back, fully synchronous (the reference's
+                # serving shape: one detect() per camera frame)
+                t0 = time.perf_counter()
+                for f in frames64[:8]:
+                    o = fn_b(jax.device_put(f))
+                    _ = np.asarray(jax.tree.leaves(o)[0])
+                sec_single = (time.perf_counter() - t0) / 8
                 t0 = time.perf_counter()
                 outs = [fn_b(jax.device_put(f)) for f in frames64]
                 outs = jax.device_get(outs)
@@ -402,6 +414,7 @@ def main():
                 out = bfn(batch)
                 jax.block_until_ready(out)
                 _ = np.asarray(out[1])
+                sec_single = sec_resident
                 t0 = time.perf_counter()
                 outs = [bfn(batch) for _ in range(nimg // micro)]
                 outs = jax.device_get(outs)
@@ -414,19 +427,24 @@ def main():
                 "images/sec",
                 sec_single / sec_b,
                 baseline=(
-                    "single-image rate of the same serving profile "
-                    "(batching gain)"
+                    "unbatched serving rate of the same profile: one "
+                    "frame at a time, synchronous put->execute->read "
+                    "per frame (batching gain)"
                 ),
                 profile=(
                     "hybrid bf16+fp32-rerank" if use_hybrid else "f32"
                 ),
                 microbatch=micro,
+                rate_unbatched=round(1.0 / sec_single, 3),
+                vs_resident_single=round(sec_resident / sec_b, 3),
                 chip_rate_resident_input=round(1.0 / sec_chip, 3),
                 note=(
                     "64 distinct uint8 frames, async single-image "
                     "dispatch + one pipelined readback (each fresh frame "
                     "pays its wire transfer on the tunneled execute "
-                    "path); chip_rate_resident_input isolates pure chip "
+                    "path); vs_resident_single compares against the "
+                    "device-resident-input microbenchmark rate and "
+                    "chip_rate_resident_input isolates pure chip "
                     "throughput"
                 ),
             )

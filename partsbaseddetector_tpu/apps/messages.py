@@ -93,3 +93,44 @@ def message_poses(
         frame_id=frame_id,
         poses=[dict(matrix=p) for p in poses],
     )
+
+
+def message_frustum(
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    width: int,
+    height: int,
+    near: float,
+    far: float,
+    frame_id: str = "camera",
+    object_name: str = "frustum",
+) -> Dict:
+    """Camera view-frustum line-list marker (the intended behavior of
+    Messages.cpp:132-134 messageFrustum, an empty stub in the
+    reference): the 8 corners of the pinhole frustum between the near
+    and far planes plus the 12 edges connecting them, as a
+    LINE_LIST-style message any transport can render.
+
+    Corners come from unprojecting the image rectangle through the
+    intrinsics at depth z: X = (u - cx) * z / fx, Y = (v - cy) * z / fy.
+    """
+    corners = []
+    for z in (near, far):
+        for u, v in ((0, 0), (width, 0), (width, height), (0, height)):
+            corners.append(
+                ((u - cx) * z / fx, (v - cy) * z / fy, float(z))
+            )
+    ring = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    edges = (
+        [(a, b) for a, b in ring]
+        + [(a + 4, b + 4) for a, b in ring]
+        + [(i, i + 4) for i in range(4)]
+    )
+    return dict(
+        type="marker_line_list",
+        frame_id=frame_id,
+        color=hash_string_to_color(object_name),
+        points=[corners[a] + corners[b] for a, b in edges],
+    )

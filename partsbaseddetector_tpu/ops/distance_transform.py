@@ -105,6 +105,20 @@ def _subwin() -> bool:
     return os.environ.get("PBD_DT_SUBWIN", "1") == "1"
 
 
+def _use_scale_pack() -> bool:
+    """Pack the scale axis of a (..., S, M, H, W) DT batch along LANES:
+    every scale in a pyramid bucket shares the part's deformation
+    weights and anchor shift, so S maps of width W become one map of
+    width S*W. Lane tiles are 128 wide — the deep-pyramid grids are
+    13-66 cells and even the finest person26-VGA grid is ~160, so
+    unpacked maps waste 38-86% of every VPU lane tile; packing cuts the
+    DT's dominant cost by that factor. Exact: lanes are independent in
+    the sublane-scan kernel, and the window bound gets the per-map MIN
+    live height across packed scales so the nearest-source witness
+    stays valid (see dt1d_sublane). Override with PBD_DT_PACK=0."""
+    return os.environ.get("PBD_DT_PACK", "1") == "1"
+
+
 def _use_sublane_ypass(w: int) -> bool:
     """The sublane-scan y-pass kernel runs the DT in the natural
     (..., H, W) layout (W on lanes) — no transposes, fewer VPU ops per
@@ -165,6 +179,91 @@ def _dt1d(
     return out, ptr
 
 
+def _scale_packed_dt2d(
+    score: jax.Array,
+    ax, bx, ay, by,
+    shift_x, shift_y,
+    dlen_x: int,
+    dlen_y: int,
+    step: int,
+    valid_h,
+    valid_w,
+    pack_axis: int,
+) -> tuple[jax.Array, jax.Array]:
+    """2-D shifted DT with the `pack_axis` batch dim packed along lanes
+    for BOTH 1-D passes (see _use_scale_pack). Requires ax/bx/ay/by and
+    shift_x/shift_y constant along pack_axis (the caller guarantees it:
+    scales within a bucket share the part's deformation parameters).
+    Exactness: each lane is an independent 1-D DT; the window prune
+    stays exact because its scan range uses the packed map's MAX live
+    height while the witness bound uses the MIN across live packed
+    segments."""
+    from .pallas_dt import dt1d_sublane
+
+    bshape = score.shape[:-2]
+    nb = len(bshape)
+    pack_axis = pack_axis % nb
+    s_pack = bshape[pack_axis]
+    h, w = score.shape[-2:]
+    subwin = _subwin()
+
+    def param(v):
+        # (..constant along pack_axis..) -> packed batch shape
+        v = jnp.broadcast_to(jnp.asarray(v), bshape)
+        return jnp.moveaxis(v, pack_axis, -1)[..., 0]
+
+    def counts(v):
+        """Per-lane or per-map valid counts -> (nv_max, nv_min) over
+        the packed segments (min restricted to live segments)."""
+        if v is None:
+            return None, None
+        v = np.asarray(v) if isinstance(v, np.ndarray) else jnp.asarray(v)
+        xp = np if isinstance(v, np.ndarray) else jnp
+        if v.ndim == nb + 1:
+            v = v.max(axis=-1)  # per-map
+        v = xp.broadcast_to(v, bshape)
+        v = xp.moveaxis(v, pack_axis, -1)  # (..., S)
+        nv_max = v.max(axis=-1)
+        live = xp.where(v > 0, v, np.iinfo(np.int32).max)
+        nv_min = xp.minimum(live.min(axis=-1), nv_max)
+        return nv_max, nv_min
+
+    def pack(x):
+        # (..., S at pack_axis ..., R, C) -> (..., R, S*C): the packed
+        # segments sit side by side along lanes
+        x = jnp.moveaxis(x, pack_axis, -2)  # (..., R, S, C)
+        return x.reshape(*x.shape[:-3], x.shape[-3], s_pack * x.shape[-1])
+
+    def unpack(x):
+        # (..., R, S*C) -> original batch layout (..., S, ..., R, C)
+        x = x.reshape(*x.shape[:-1], s_pack, x.shape[-1] // s_pack)
+        return jnp.moveaxis(x, -2, pack_axis)
+
+    # y pass: H on sublanes, S*W on lanes
+    nvh, nvh_min = counts(valid_h)
+    tmp_p, iy_p = dt1d_sublane(
+        pack(score),
+        param(ay), param(by), param(shift_y),
+        dlen_y, step,
+        nvalid=nvh, window=subwin, interpret=_interpret(),
+        nvalid_min=nvh_min,
+    )  # (..., dlen_y, S*W)
+
+    # x pass: W on sublanes, S*dlen_y on lanes, fused Iy-as-aux
+    swap = lambda x: jnp.swapaxes(x, -1, -2)
+    tmp_t = pack(swap(unpack(tmp_p)))  # (..., W, S*dlen_y)
+    iy_t = pack(swap(unpack(iy_p)))
+    nvw, nvw_min = counts(valid_w)
+    msg_t, ptr_t = dt1d_sublane(
+        tmp_t,
+        param(ax), param(bx), param(shift_x),
+        dlen_x, step,
+        nvalid=nvw, aux=iy_t, window=subwin, interpret=_interpret(),
+        nvalid_min=nvw_min,
+    )  # (..., dlen_x, S*dlen_y)
+    return swap(unpack(msg_t)), swap(unpack(ptr_t))
+
+
 def shift_distance_transform_2d_packed(
     score: jax.Array,
     wdef: jax.Array,
@@ -179,6 +278,7 @@ def shift_distance_transform_2d_packed(
     out_valid_h=None,
     out_valid_w=None,
     dead_heavy: bool = False,
+    pack_axis=None,
 ) -> tuple[jax.Array, jax.Array]:
     """2-D shifted/subsampled generalized DT with packed pointers.
 
@@ -195,6 +295,9 @@ def shift_distance_transform_2d_packed(
     those positions semantically dead, so results are unchanged.
     differentiable=True attaches the max-subgradient custom VJP to the
     Pallas kernel (training differentiates straight through it).
+    pack_axis (optional): a batch axis along which wdef/shift_x/shift_y
+    are constant (the scale axis of a bucket) — maps along it are
+    packed side by side on VPU lanes for both passes (_use_scale_pack).
     Returns (msg, ptr) with ptr = (Iy << 12) | Ix int32 — on the Pallas
     path the Iy = tmpIy[Ix] composition (shiftdt.cc:102-108) is fused
     into the x-pass kernel, avoiding an 8M-element gather.
@@ -202,6 +305,20 @@ def shift_distance_transform_2d_packed(
     use_pallas = _use_pallas()
     ax, bx = -wdef[..., 0], -wdef[..., 1]
     ay, by = -wdef[..., 2], -wdef[..., 3]
+
+    if (
+        pack_axis is not None
+        and use_pallas
+        and not differentiable
+        and not dead_heavy
+        and _use_scale_pack()
+        and score.ndim >= 4
+        and score.shape[pack_axis % (score.ndim - 2)] > 1
+    ):
+        return _scale_packed_dt2d(
+            score, ax, bx, ay, by, shift_x, shift_y,
+            dlen_x, dlen_y, step, valid_h, valid_w, pack_axis,
+        )
 
     def _expand(v, batch_ndim):
         """Accept per-batch scalars (appended axis) or fully-shaped

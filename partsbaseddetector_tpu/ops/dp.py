@@ -463,6 +463,9 @@ def tree_min_sum(
                 differentiable=tensors is not None,
                 out_valid_h=ovy_gs,
                 out_valid_w=ovx_gs,
+                # deformation params are per (G, M) — the scale axis is
+                # packable along VPU lanes (see _use_scale_pack)
+                pack_axis=1,
             )
 
             # per-part combine is the default: stacking the combine over

@@ -552,10 +552,10 @@ def _make_sublane_kernel(*, h, dlen, w, ts, step, nacc, has_aux=False,
 
     def kernel(*refs):
         if window and has_aux:
-            (a_ref, b_ref, sh_ref, nv_ref, rng_ref, src_ref, aux_ref,
-             out_ref, ptr_ref) = refs
+            (a_ref, b_ref, sh_ref, nv_ref, nvmin_ref, rng_ref, src_ref,
+             aux_ref, out_ref, ptr_ref) = refs
         elif window:
-            (a_ref, b_ref, sh_ref, nv_ref, rng_ref, src_ref,
+            (a_ref, b_ref, sh_ref, nv_ref, nvmin_ref, rng_ref, src_ref,
              out_ref, ptr_ref) = refs
             aux_ref = None
         elif has_aux:
@@ -620,8 +620,13 @@ def _make_sublane_kernel(*, h, dlen, w, ts, step, nacc, has_aux=False,
                 qhi = qlo + jnp.float32(step * (ts - 1))
                 w2 = -a_s
                 w1m = jnp.abs(b_s)
-                nvf = nv_ref[bi, 0].astype(jnp.float32)
-                # max distance from any tile output to [0, nv-1]
+                # witness bound: every LIVE lane is live on at least
+                # [0, nvmin) (= nv when lanes come from one map; the
+                # per-segment min when several scale maps are packed
+                # along lanes), so clip(q, 0, nvmin-1) is a live
+                # in-window candidate for every lane that can win
+                nvf = nvmin_ref[bi, 0].astype(jnp.float32)
+                # max distance from any tile output to [0, nvmin-1]
                 delta = jnp.maximum(
                     0.0, jnp.maximum(-qlo, qhi - (nvf - 1.0))
                 )
@@ -678,7 +683,7 @@ def _sublane_ts() -> int:
 )
 def _dt1d_sublane_call(src, a, b, shift, nvalid, aux, dlen: int, step: int,
                        interpret: bool, has_aux: bool = False,
-                       window: bool = False):
+                       window: bool = False, nvalid_min=None):
     bsz, h, w = src.shape
     # scalars ride SMEM as (bsz, 1): a 2-D block whose last two dims
     # equal the array's stays a legal Mosaic block even after vmap
@@ -702,6 +707,10 @@ def _dt1d_sublane_call(src, a, b, shift, nvalid, aux, dlen: int, step: int,
     operands = [a_p, b_p, sh_p, nv_p]
     in_specs = [scalar_spec] * 4
     if window:
+        nvm = nvalid if nvalid_min is None else nvalid_min
+        nvm_p = jnp.asarray(nvm, jnp.int32).reshape(bsz, 1)
+        operands.append(nvm_p)
+        in_specs.append(scalar_spec)
         # per-map live value range R = max - min over sources that can
         # win (strictly above the NEG sentinel; -inf/NEG never wins and
         # never serves as the v_near witness — see _make_sublane_kernel)
@@ -748,6 +757,7 @@ def dt1d_sublane(
     interpret: bool = False,
     aux=None,
     window: bool = False,
+    nvalid_min=None,
 ):
     """Batched 1-D DT along axis -2 (the sublane axis) — the y pass in
     the natural (..., H, W) layout, so the 2-D composition needs zero
@@ -762,7 +772,12 @@ def dt1d_sublane(
     sources <= NEG/2) or live at each index in [0, nvalid) — interior
     dead holes would invalidate the nearest-source witness. The
     pipeline's -inf padding is contiguous rectangles, which satisfies
-    this. Returns (out (..., dlen, W), ptr int32 same shape).
+    this. nvalid_min (optional): when lanes of one map pack SEVERAL
+    source maps side by side (the scale-packed DT path), the per-map
+    minimum live height across the packed segments — the window's
+    nearest-source witness must be live in every live lane, so the
+    bound uses the min while the scan range uses the max.
+    Returns (out (..., dlen, W), ptr int32 same shape).
     """
     batch_shape = src.shape[:-2]
     h, w = src.shape[-2], src.shape[-1]
@@ -776,6 +791,7 @@ def dt1d_sublane(
     out, ptr = _dt1d_sublane_call(
         src3, full(a), full(b), full(shift), full(nvalid), aux3, dlen,
         step, interpret, has_aux, window,
+        None if nvalid_min is None else full(nvalid_min),
     )
     return (
         out.reshape(*batch_shape, dlen, w),

@@ -278,3 +278,41 @@ def test_demo_cli_end_to_end(tmp_path, capsys):
     assert mt_main([xpath, npath]) == 0
     matpath = str(tmp_path / "m.mat")
     assert mt_main([npath, matpath]) == 0
+
+
+def test_messages_surface():
+    """apps/messages builders (the ros/Messages.cpp surface): stable
+    hash colors, cube markers, and the working messageFrustum analog
+    (an empty stub at Messages.cpp:132-134; here it emits the 12
+    frustum edges through the pinhole intrinsics)."""
+    import numpy as np
+
+    from partsbaseddetector_tpu.apps.messages import (
+        hash_string_to_color,
+        message_bounding_boxes,
+        message_frustum,
+    )
+    from partsbaseddetector_tpu.depth import Rect3
+
+    c1 = hash_string_to_color("person")
+    assert c1 == hash_string_to_color("person") and len(c1) == 4
+    assert c1 != hash_string_to_color("face")
+
+    box = Rect3(0.0, 0.0, 1.0, 0.5, 0.5, 0.5)
+    mk = message_bounding_boxes([box], object_name="person")
+    assert len(mk) == 1
+
+    fr = message_frustum(
+        fx=525.0, fy=525.0, cx=320.0, cy=240.0,
+        width=640, height=480, near=0.4, far=3.0,
+    )
+    assert fr["type"] == "marker_line_list"
+    assert len(fr["points"]) == 12  # 4 near + 4 far + 4 connecting
+    pts = np.asarray(fr["points"])  # (12, 6) segment endpoints
+    assert pts.shape == (12, 6)
+    zs = np.concatenate([pts[:, 2], pts[:, 5]])
+    assert set(np.round(zs, 6)) == {0.4, 3.0}
+    # far corners are the near corners scaled by far/near (pinhole)
+    near_tl = pts[0, :3]
+    far_tl = pts[4, :3]
+    np.testing.assert_allclose(far_tl, near_tl * (3.0 / 0.4), rtol=1e-6)

@@ -475,3 +475,82 @@ def test_sublane_window_under_vmap():
             np.testing.assert_array_equal(
                 np.asarray(got_p[bi]), np.asarray(want_p)
             )
+
+
+def test_scale_packed_dt2d_bitexact(monkeypatch):
+    """The scale-packed 2-D DT (scales of a bucket packed along lanes,
+    ops/distance_transform.py::_scale_packed_dt2d) must be bit-identical
+    to per-scale invocations of the SAME sublane composition — messages
+    AND packed pointers — with per-scale valid extents (the nvalid_min
+    witness-bound case), -inf padding, and anchor shifts of both signs.
+    Bit-exactness holds by construction: the kernel scores every visited
+    (q, v) candidate directly (no running recurrence) and the window
+    bound only excludes strict losers, so packing can change which dead
+    candidates are scanned but never the winner or its value. A second
+    check pins pointers against the NumPy MATLAB-composition reference
+    (shift_dt_2d) for semantic ground truth."""
+    import jax.numpy as jnp
+    import partsbaseddetector_tpu.ops.distance_transform as dt
+    from partsbaseddetector_tpu.ops import reference
+
+    monkeypatch.setenv("PBD_DT_IMPL", "interpret")
+    monkeypatch.setenv("PBD_DT_PACK", "1")
+    rng = np.random.RandomState(5)
+    G, S, M, H, W = 1, 3, 2, 14, 11
+    dlen_y, dlen_x = 12, 10
+    score = (rng.randn(G, S, M, H, W) * 4).astype(np.float32)
+    vh = np.zeros((G, S, M, W), np.int32)
+    vw = np.zeros((G, S, M, dlen_y), np.int32)
+    hws = np.zeros((G, S, M, 2), np.int32)
+    for g in range(G):
+        for s in range(S):
+            for m in range(M):
+                hh = rng.randint(6, H + 1)
+                ww = rng.randint(5, W + 1)
+                score[g, s, m, hh:, :] = -np.inf
+                score[g, s, m, :, ww:] = -np.inf
+                vh[g, s, m, :ww] = hh
+                vw[g, s, m, : min(hh + 2, dlen_y)] = ww
+                hws[g, s, m] = (hh, ww)
+    wdef = (np.abs(rng.randn(G, 1, M, 4)) * 0.05 + 0.01).astype(
+        np.float32
+    )
+    sx = rng.randint(-2, 3, (G, 1, M)).astype(np.float32)
+    sy = rng.randint(-2, 3, (G, 1, M)).astype(np.float32)
+    m1, p1 = dt.shift_distance_transform_2d_packed(
+        jnp.asarray(score), jnp.asarray(wdef), jnp.asarray(sx),
+        jnp.asarray(sy), dlen_x=dlen_x, dlen_y=dlen_y, step=1,
+        valid_h=vh, valid_w=vw, pack_axis=1,
+    )
+    m1, p1 = np.asarray(m1), np.asarray(p1)
+
+    # per-scale reference through the SAME kernel composition (S=1
+    # packing is the identity layout): bit-exact, pointers included
+    ax, bx = -wdef[..., 0], -wdef[..., 1]
+    ay, by = -wdef[..., 2], -wdef[..., 3]
+    for s in range(S):
+        sl = np.s_[:, s : s + 1]
+        m0, p0 = dt._scale_packed_dt2d(
+            jnp.asarray(score[sl]), jnp.asarray(ax), jnp.asarray(bx),
+            jnp.asarray(ay), jnp.asarray(by), jnp.asarray(sx),
+            jnp.asarray(sy), dlen_x, dlen_y, 1,
+            vh[sl], vw[sl], pack_axis=1,
+        )
+        np.testing.assert_array_equal(np.asarray(m0), m1[sl])
+        np.testing.assert_array_equal(np.asarray(p0), p1[sl])
+
+    # semantic ground truth: MATLAB-composition NumPy DT per map
+    for g in range(G):
+        for s in range(S):
+            for m in range(M):
+                hh, ww = hws[g, s, m]
+                msg, ix, iy = reference.shift_dt_2d(
+                    score[g, s, m, :hh, :ww].astype(np.float64),
+                    wdef[g, 0, m], int(sx[g, 0, m]), int(sy[g, 0, m]),
+                    dlen_x, dlen_y,
+                )
+                got_m = m1[g, s, m]
+                got_p = p1[g, s, m]
+                np.testing.assert_allclose(got_m, msg, rtol=2e-6, atol=2e-5)
+                np.testing.assert_array_equal(got_p & 0xFFF, ix)
+                np.testing.assert_array_equal(got_p >> 12, iy)
