@@ -212,13 +212,24 @@ def main():
     )
     sec_best = sec_p
 
+    # provisional headline NOW: if anything below is cut short by an
+    # outer kill (driver timeout shorter than PBD_BENCH_BUDGET), the
+    # last complete JSON line is still a parseable f32 headline
+    HEADLINE.pop("error", None)
+    prov = dict(HEADLINE)
+    prov.update(hl)
+    prov["value"] = round(prov["value"], 3)
+    prov["vs_baseline"] = round(cpu_p / sec_p, 2) if cpu_p else 1.0
+    prov["provisional"] = True
+    print(json.dumps(prov), flush=True)
+
     # hybrid serving profile: bf16 pipeline + fp32 on-device re-score of
     # the top-k placements (ops/rescore.py; the score-reconstruction
     # identity of detect.m:141-146 as a serving stage)
     import jax.numpy as jnp
 
     sec_h = None
-    if guard(2, "hybrid profile", 240):
+    if guard(2, "hybrid profile", 330):  # measured 312s cold compile
         try:
             det_h = PartsBasedDetector(
                 person,
