@@ -18,6 +18,24 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache for the CPU test platform: per-test jit
+# compiles dominate the fast tier (~9 min cold), and a warm cache cuts
+# compile-bound tests ~4x. The package skips the cache on CPU because
+# XLA:CPU AOT loads log a machine-feature "mismatch" — inspected here:
+# the only deltas are XLA's synthetic +prefer-no-scatter/-gather tuning
+# flags (codegen preferences, not instructions; every real ISA feature
+# matches this host), so same-host reuse is safe. Dedicated directory:
+# CPU entries never mix with the TPU serving cache.
+if os.environ.get("PBD_TEST_COMPILE_CACHE", "1") != "0":
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.expanduser("~"), ".jax_cache_cpu"),
+    )
+    # stable keys: strip call-site source locations from Mosaic
+    # payloads (see partsbaseddetector_tpu._enable_compile_cache)
+    jax.config.update("jax_traceback_in_locations_limit", 0)
+    jax.config.update("jax_include_full_tracebacks_in_locations", False)
+
 
 def pytest_report_header(config):
     return f"jax devices: {jax.devices()}"

@@ -28,9 +28,13 @@ def _rand(rng, shape):
     [
         (2, 18, 22, 32, 7, 5, 5),
         (1, 9, 31, 32, 3, 3, 4),   # non-square filter, W not lane-round
-        (3, 12, 12, 16, 130, 5, 5),  # F past one lane tile, C=16
+        pytest.param(
+            3, 12, 12, 16, 130, 5, 5, marks=pytest.mark.slow
+        ),  # F past one lane tile, C=16
         (1, 6, 6, 8, 1, 2, 2),     # minimal
-        (2, 40, 129, 32, 104, 5, 5),  # OW just past a lane boundary
+        pytest.param(
+            2, 40, 129, 32, 104, 5, 5, marks=pytest.mark.slow
+        ),  # OW just past a lane boundary
     ],
 )
 def test_pallas_matches_xla(s, h, w, c, f, fh, fw):

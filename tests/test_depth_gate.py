@@ -14,6 +14,7 @@ Three layers of evidence:
 """
 
 import numpy as np
+import pytest
 
 from partsbaseddetector_tpu import PartsBasedDetector, make_synthetic_model
 from partsbaseddetector_tpu.depth import DepthGate, depth_level_mask
@@ -83,6 +84,7 @@ def test_device_masks_equal_host_predictor():
     assert masked_any > 0, "fixture must actually gate something"
 
 
+@pytest.mark.slow
 def test_gated_detect_matches_numpy_predictor():
     model = _model()
     rng = np.random.RandomState(0)
@@ -120,7 +122,7 @@ def test_gated_detect_matches_numpy_predictor():
 def test_unknown_depth_gates_nothing():
     model = _model(seed=11)
     rng = np.random.RandomState(1)
-    im = (rng.rand(160, 180, 3) * 255).astype(np.float32)
+    im = (rng.rand(120, 140, 3) * 255).astype(np.float32)
     _calibrate(model, im, keep=8)
     depth = np.zeros(im.shape[:2], dtype=np.float32)  # all-unknown
 

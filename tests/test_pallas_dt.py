@@ -284,10 +284,10 @@ def test_dlen_past_lane_multiple_matches_envelope(n, dlen, shift):
 
 
 @pytest.mark.parametrize("h,w,dlen,step,shift,tie_stress", [
-    (70, 90, 70, 1, -2, False),
+    pytest.param(70, 90, 70, 1, -2, False, marks=pytest.mark.slow),
     (166, 126, 166, 1, 0, False),
     (40, 64, 20, 2, 1, False),
-    (33, 50, 33, 1, 0, True),
+    pytest.param(33, 50, 33, 1, 0, True, marks=pytest.mark.slow),
 ])
 def test_sublane_dt_aux_matches_lane_kernel(h, w, dlen, step, shift,
                                             tie_stress):

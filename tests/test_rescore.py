@@ -26,8 +26,14 @@ def _im(h=120, w=150, seed=0):
 
 CONFIGS = [
     dict(nparts=5, nmix=2, interval=3, chain=True),
-    dict(nparts=6, nmix=3, interval=2, ncomponents=2),
-    dict(nparts=4, nmix=2, interval=2, fsizes=[(5, 5), (4, 6), (3, 3)]),
+    pytest.param(
+        dict(nparts=6, nmix=3, interval=2, ncomponents=2),
+        marks=pytest.mark.slow,
+    ),
+    pytest.param(
+        dict(nparts=4, nmix=2, interval=2, fsizes=[(5, 5), (4, 6), (3, 3)]),
+        marks=pytest.mark.slow,
+    ),
 ]
 
 
@@ -52,6 +58,7 @@ def test_f32_rerank_is_identity(kw):
         np.testing.assert_array_equal(x.mixtures, y.mixtures)
 
 
+@pytest.mark.slow
 def test_f32_rerank_identity_cpp_border():
     """The re-score must honor the cpp filter-bank placement (filters
     sit at (pad - cv_anchor) offsets inside the bank)."""
@@ -73,6 +80,7 @@ def test_f32_rerank_identity_cpp_border():
         )
 
 
+@pytest.mark.slow
 def test_f32_rerank_identity_octave_offset_parts():
     """Octave-offset parts read features a bucket finer; the re-score
     must gather from the right bucket and scale boxes by 2^-ds."""
