@@ -404,7 +404,23 @@ class PartsBasedDetector:
         key = ("batch", int(imsize[0]), int(imsize[1]), int(batch))
         if key not in self._fns:
             single = self._build_fn((int(imsize[0]), int(imsize[1])))
-            self._fns[key] = jax.jit(jax.vmap(single))
+            spectra = getattr(single, "_fft_spectra", None)
+            if spectra is not None:
+                # fourier: spectra as runtime args, broadcast over batch
+                sp_dev = jax.device_put(
+                    [jnp.asarray(s) for s in spectra]
+                )
+                jfn = jax.jit(
+                    jax.vmap(
+                        lambda im, sp: single(im, None, sp),
+                        in_axes=(0, None),
+                    )
+                )
+                self._fns[key] = (
+                    lambda ims, _jfn=jfn, _sp=sp_dev: _jfn(ims, _sp)
+                )
+            else:
+                self._fns[key] = jax.jit(jax.vmap(single))
         return self._fns[key]
 
     def detect_many(
@@ -477,7 +493,25 @@ class PartsBasedDetector:
             raise RuntimeError("distribute_model() must be called first")
         key = (int(imsize[0]), int(imsize[1]), bool(gated))
         if key not in self._fns:
-            self._fns[key] = jax.jit(self._build_fn(key[:2], gated))
+            raw = self._build_fn(key[:2], gated)
+            jfn = jax.jit(raw)
+            spectra = getattr(raw, "_fft_spectra", None)
+            if spectra is not None:
+                # fourier serving: device-resident spectra passed as
+                # runtime args on every call (constants would overflow
+                # remote-compile payload limits at person26 scale)
+                sp_dev = jax.device_put(
+                    [jnp.asarray(s) for s in spectra]
+                )
+
+                def wrapped(
+                    im, depth=None, _jfn=jfn, _sp=sp_dev
+                ):
+                    return _jfn(im, depth, _sp)
+
+                self._fns[key] = wrapped
+            else:
+                self._fns[key] = jfn
         return self._fns[key]
 
     def _build_fn(self, imsize: Tuple[int, int], gated: bool = False):
@@ -499,8 +533,20 @@ class PartsBasedDetector:
             rtables = build_rescore_tables(
                 packed, plan, self.buckets_per_octave
             )
+        fft_sp = None
+        if self.conv_engine == "fourier":
+            # spectra travel as runtime args (threaded by _get_fn), not
+            # baked constants: person26-scale baked spectra overflow the
+            # axon remote-compile payload limit (HTTP 413)
+            from .pipeline import fourier_spectra_args
 
-        def fn(im: jax.Array, depth: Optional[jax.Array] = None):
+            fft_sp = fourier_spectra_args(packed, plan)
+
+        def fn(
+            im: jax.Array,
+            depth: Optional[jax.Array] = None,
+            fft_spectra: Optional[list] = None,
+        ):
             import os as _os
 
             if depth is not None:
@@ -531,6 +577,7 @@ class PartsBasedDetector:
                 response_masks=rmasks,
                 conv_dtype=jnp.float32 if rerank else None,
                 collect_responses=resps32,
+                fft_spectra=fft_spectra,
             )
             boxes_l, scores_l, mix_l, valid_l, comp_l = [], [], [], [], []
             bid_l, si_l, xs_l, ys_l = [], [], [], []
@@ -722,4 +769,5 @@ class PartsBasedDetector:
                 )
             return out
 
+        fn._fft_spectra = fft_sp
         return fn

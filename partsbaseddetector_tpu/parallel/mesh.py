@@ -46,6 +46,29 @@ def batched_detect_fn(detector, imsize: Tuple[int, int], mesh: Optional[Mesh] = 
     valid, mixtures), batch-major.
     """
     single = detector._build_fn(imsize)
+    spectra = getattr(single, "_fft_spectra", None)
+    if spectra is not None:
+        # fourier engine: spectra as runtime args broadcast across the
+        # batch (baked constants overflow remote-compile payload limits
+        # at flagship scale — see pipeline.fourier_spectra_args)
+        import jax.numpy as jnp
+
+        sp_dev = jax.device_put([jnp.asarray(s) for s in spectra])
+        batched = jax.vmap(
+            lambda im, sp: single(im, None, sp), in_axes=(0, None)
+        )
+        if mesh is None:
+            jfn = jax.jit(batched)
+        else:
+            jfn = jax.jit(
+                batched,
+                in_shardings=(
+                    NamedSharding(mesh, P("dp")),
+                    NamedSharding(mesh, P()),
+                ),
+                out_shardings=NamedSharding(mesh, P("dp")),
+            )
+        return lambda ims, _jfn=jfn, _sp=sp_dev: _jfn(ims, _sp)
     batched = jax.vmap(single)
     if mesh is None:
         return jax.jit(batched)

@@ -54,6 +54,25 @@ def make_plan(
     )
 
 
+def fourier_spectra_args(
+    packed: PackedModel, plan: PyramidPlan
+) -> List[np.ndarray]:
+    """Host-side conjugate filter spectra, one per bucket, shaped for
+    root_scores(fft_spectra=...) — the cached FourierConvolutionEngine
+    `setFilters` state as RUNTIME arguments. device_put these once and
+    pass them on every call instead of letting the trace bake them as
+    constants: a person26 VGA bank's spectra are O(100 MB) of literals,
+    which overflows the axon remote-compile HTTP payload limit (413)
+    and bloats compile time. Memoized per (filters, feat_h, feat_w) by
+    fft_filter_spectra."""
+    from .ops.conv import fft_filter_spectra
+
+    return [
+        fft_filter_spectra(packed.filters, b.feat_h, b.feat_w)
+        for b in plan.buckets
+    ]
+
+
 def depth_response_masks(
     depth: jax.Array,
     plan: PyramidPlan,
@@ -126,6 +145,7 @@ def root_scores(
     features: Optional[List[jax.Array]] = None,
     conv_dtype=None,
     collect_responses: Optional[List[jax.Array]] = None,
+    fft_spectra: Optional[List[jax.Array]] = None,
 ) -> List[BucketScores]:
     """Run HOG pyramid -> responses -> tree DP for every (bucket,
     component). params (optional) = {'filters', 'defs', 'biases'} traced
@@ -144,7 +164,16 @@ def root_scores(
     HBM-bound DT/DP in `dtype`, so the fp32 re-score can reconstruct
     exact f32 scores from the responses. collect_responses (optional):
     a list the RAW (pre-masking, conv-dtype) per-bucket response stacks
-    are appended to — the rescore_from_responses input."""
+    are appended to — the rescore_from_responses input.
+
+    fft_spectra (optional, fourier engine): one (feat_h, wf, C, F)
+    complex64 conjugate-filter-spectrum array per bucket, threaded as a
+    RUNTIME argument through the jit boundary (see
+    fourier_spectra_args). Without it the serving path bakes the
+    spectra as program constants — correct, but a person26-scale bank's
+    spectra are hundreds of MB of literals, which overflows
+    remote-compile payload limits (axon rejects the serialized program
+    with HTTP 413) and bloats every compile."""
     spec = packed.spec
     conv = ENGINES[engine]
     if engine == "spatial" and params is None:
@@ -170,10 +199,14 @@ def root_scores(
     vhs: List[np.ndarray] = []
     vws: List[np.ndarray] = []
     for b, bucket in enumerate(plan.buckets):
-        if engine == "fourier" and params is None:
-            # serving: bake the conjugate filter spectra as constants —
-            # the cached `setFilters` state the reference engine intends
-            # (src/FourierConvolutionEngine.cpp:118-139 drops its DFTs)
+        if engine == "fourier" and fft_spectra is not None:
+            # serving: cached conjugate filter spectra as runtime args
+            resp = conv(feats[b], filters, fft_spectra[b])
+        elif engine == "fourier" and params is None:
+            # small-model fallback: bake the conjugate filter spectra as
+            # constants — the cached `setFilters` state the reference
+            # engine intends (src/FourierConvolutionEngine.cpp:118-139
+            # drops its DFTs)
             from .ops.conv import fft_filter_spectra
 
             spectra = fft_filter_spectra(

@@ -39,3 +39,23 @@ if os.environ.get("PBD_TEST_COMPILE_CACHE", "1") != "0":
 
 def pytest_report_header(config):
     return f"jax devices: {jax.devices()}"
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default run = fast tier. The slow tier (multi-minute end-to-end
+    training proofs, compiled-oracle sweeps) is opt-in: PBD_RUN_SLOW=1
+    runs everything, `-m slow` runs only the slow tier. Without this,
+    the stock `pytest tests/ -x -q` invocation silently includes ~1h of
+    slow-marked tests."""
+    if os.environ.get("PBD_RUN_SLOW", "0") == "1":
+        return
+    if "slow" in (config.getoption("-m") or ""):
+        return
+    import pytest
+
+    skip = pytest.mark.skip(
+        reason="slow tier: set PBD_RUN_SLOW=1 or pass -m slow"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
