@@ -59,16 +59,19 @@ def fft_filter_spectra(
     the cached `setFilters` state the reference's FourierConvolutionEngine
     *intends* to keep (src/FourierConvolutionEngine.cpp:118-139 computes
     per-channel DFTs into a local and drops them; we keep them). Computed
-    in float64 and rounded once to complex64, so the baked constant is
-    the best c64 representation of the true spectrum.
+    in float64 and rounded once to float32, so the value is the best f32
+    representation of the true spectrum.
 
     Memoized per (filters identity, h, w): retracing the serving program
     (new image shape, new engine, vmap batch) reuses the spectra instead
     of paying the O(F*C*HW log HW) host FFT on every trace.
 
-    filters: (F, fh, fw, C) host array. Returns (h, wf, C, F) complex64,
-    conjugated and transposed for the MXU contraction in
-    filter_responses_fft.
+    filters: (F, fh, fw, C) host array. Returns (2, h, wf, C, F) float32
+    — stacked [real, imag] of the conjugate spectra, transposed for the
+    MXU channel contraction in filter_responses_fft. Split re/im (no
+    complex dtype) so the device arrays stay plain f32: the contraction
+    wants four real matmuls anyway, and complex layouts are a backend
+    support surface this engine no longer depends on.
     """
     import numpy as np
 
@@ -83,11 +86,25 @@ def fft_filter_spectra(
             s=(h, w),
         )
     )  # (F, C, h, wf)
-    out = np.ascontiguousarray(
-        np.transpose(filt_f, (2, 3, 1, 0))
-    ).astype(np.complex64)
+    bt = np.transpose(filt_f, (2, 3, 1, 0))  # (h, wf, C, F)
+    out = np.stack([bt.real, bt.imag]).astype(np.float32)
     _SPECTRA_CACHE[key] = (filters, out)
     return out
+
+
+def _fft_impl() -> str:
+    """'native' (jnp.fft, used on CPU where XLA's FFT is solid) or
+    'matmul' (per-axis DFT contractions, ops/dft.py — the default on
+    accelerator backends: the axon TPU backend's FFT custom call fails
+    UNIMPLEMENTED above a small transform batch, and at feature-pyramid
+    sizes the explicit DFT is MXU work with no support surface).
+    Override with PBD_FFT_IMPL=native|matmul."""
+    import os
+
+    impl = os.environ.get("PBD_FFT_IMPL", "auto")
+    if impl in ("native", "matmul"):
+        return impl
+    return "native" if jax.default_backend() == "cpu" else "matmul"
 
 
 def filter_responses_fft(
@@ -108,28 +125,103 @@ def filter_responses_fft(
     elementwise einsum (which XLA evaluates at default precision: bf16
     passes, measured 9.7e-3 max response error vs 4.7e-6 for the matmul
     form; tools/fft_microbench.py). spectra (optional) is the cached
-    conjugate filter spectrum from fft_filter_spectra — serving bakes it
-    as a constant so no filter FFT runs per trace.
+    conjugate filter spectrum stack from fft_filter_spectra — serving
+    device-puts it once and threads it as a runtime arg.
+
+    Transforms themselves dispatch on the backend (_fft_impl): native
+    jnp.fft on CPU, per-axis DFT matmuls (ops/dft.py) elsewhere.
     """
     s, h, w, c = features.shape
     f, fh, fw, fc = filters.shape
     assert c == fc
     dtype = features.dtype
+    mm = lambda x, y: jnp.einsum(
+        "shwc,hwcf->shwf", x, y, precision=jax.lax.Precision.HIGHEST
+    )
+    if _fft_impl() == "matmul":
+        return _filter_responses_dft(
+            features, filters, spectra, mm, (s, h, w, c, f, fh, fw)
+        )
     feat_f = jnp.fft.rfft2(jnp.transpose(features, (0, 3, 1, 2)), s=(h, w))
     if spectra is None:
         filt_f = jnp.conj(
             jnp.fft.rfft2(jnp.transpose(filters, (0, 3, 1, 2)), s=(h, w))
         )
-        b = jnp.transpose(filt_f, (2, 3, 1, 0))  # (h, wf, C, F)
+        br = jnp.transpose(filt_f.real, (2, 3, 1, 0))  # (h, wf, C, F)
+        bi = jnp.transpose(filt_f.imag, (2, 3, 1, 0))
     else:
-        b = jnp.asarray(spectra)
+        sp = jnp.asarray(spectra)
+        br, bi = sp[0], sp[1]
     a = jnp.transpose(feat_f, (0, 2, 3, 1))  # (S, h, wf, C)
-    mm = lambda x, y: jnp.einsum(
-        "shwc,hwcf->shwf", x, y, precision=jax.lax.Precision.HIGHEST
-    )
-    re = mm(a.real, b.real) - mm(a.imag, b.imag)
-    im = mm(a.real, b.imag) + mm(a.imag, b.real)
+    re = mm(a.real, br) - mm(a.imag, bi)
+    im = mm(a.real, bi) + mm(a.imag, br)
     spec = jnp.transpose(re + 1j * im, (0, 3, 1, 2))  # (S, F, h, wf)
     out = jnp.fft.irfft2(spec, s=(h, w)).astype(dtype)
     out = out[:, :, : h - fh + 1, : w - fw + 1]
     return jnp.transpose(out, (0, 2, 3, 1))
+
+
+def _dft_precision():
+    """Matmul precision for the DFT transforms. HIGHEST (6-pass f32
+    emulation on the bf16 MXU) is exact but ~2-3x the passes of HIGH
+    (3-pass); transform sums are short (<= 170 taps), so HIGH keeps
+    response error ~1e-4 — well inside the engine parity budget (5e-3).
+    Override with PBD_FFT_PRECISION=high|highest."""
+    import os
+
+    name = os.environ.get("PBD_FFT_PRECISION", "high").upper()
+    return getattr(jax.lax.Precision, name)
+
+
+def _filter_responses_dft(features, filters, spectra, mm, dims):
+    """DFT-as-matmul body: identical math, layout-specialized einsums
+    (the transforms contract the h/w axes in place, so the NHWC feature
+    stack never transposes). Differentiable (plain einsums), so the
+    training path works unchanged when the fourier engine is selected
+    on an accelerator backend. The inverse bases are sliced to the
+    valid output extent (h-fh+1, w-fw+1) up front — downstream masks
+    everything beyond it, so those rows/cols are never computed."""
+    from .dft import dft_bases, rfft2_matmul
+
+    s, h, w, c, f, fh, fw = dims
+    dtype = features.dtype
+    hp = _dft_precision()
+    b = dft_bases(h, w)
+    hv, wv = h - fh + 1, w - fw + 1
+    x = features.astype(jnp.float32)
+    # forward rfft2 along (h, w) of the (S, h, w, C) stack
+    zr = jnp.einsum("shwc,wk->shkc", x, b.fwd_w_c, precision=hp)
+    zi = -jnp.einsum("shwc,wk->shkc", x, b.fwd_w_s, precision=hp)
+    eh = lambda z, m: jnp.einsum("shkc,hm->smkc", z, m, precision=hp)
+    ar = eh(zr, b.fwd_h_c) + eh(zi, b.fwd_h_s)
+    ai = eh(zi, b.fwd_h_c) - eh(zr, b.fwd_h_s)
+    if spectra is None:
+        # traced filters (training): same matmul transform, then conj
+        fp = jnp.pad(
+            filters.astype(jnp.float32),
+            ((0, 0), (0, h - fh), (0, w - fw), (0, 0)),
+        )
+        fzr, fzi = rfft2_matmul(
+            jnp.transpose(fp, (0, 3, 1, 2)), b
+        )  # (F, C, h, wf)
+        br = jnp.transpose(fzr, (2, 3, 1, 0))  # (h, wf, C, F)
+        bi = -jnp.transpose(fzi, (2, 3, 1, 0))
+    else:
+        sp = jnp.asarray(spectra)
+        br, bi = sp[0], sp[1]
+    # channel contraction at the same precision as the transforms (the
+    # passed-in mm is the native path's HIGHEST variant)
+    mm = lambda x, y: jnp.einsum("shwc,hwcf->shwf", x, y, precision=hp)
+    re = mm(ar, br) - mm(ai, bi)  # (S, h, wf, F)
+    im = mm(ar, bi) + mm(ai, br)
+    # inverse: complex ifft along h, hermitian-folded real inverse along
+    # w — both restricted to the valid grid
+    ihc, ihs = b.inv_h_c[:, :hv], b.inv_h_s[:, :hv]
+    iwc, iws = b.inv_w_c[:, :wv], b.inv_w_s[:, :wv]
+    ei = lambda z, m: jnp.einsum("smkf,mh->shkf", z, m, precision=hp)
+    yr = ei(re, ihc) - ei(im, ihs)
+    yi = ei(im, ihc) + ei(re, ihs)
+    out = jnp.einsum(
+        "shkf,kn->shnf", yr, iwc, precision=hp
+    ) - jnp.einsum("shkf,kn->shnf", yi, iws, precision=hp)
+    return out.astype(dtype)

@@ -53,7 +53,19 @@ def batched_detect_fn(detector, imsize: Tuple[int, int], mesh: Optional[Mesh] = 
         # at flagship scale — see pipeline.fourier_spectra_args)
         import jax.numpy as jnp
 
-        sp_dev = jax.device_put([jnp.asarray(s) for s in spectra])
+        # commit the spectra WITH the mesh-replicated sharding up front:
+        # default-device arrays fed to a jit declaring P() replication
+        # get re-broadcast on every dispatch (O(100 MB) per call for a
+        # person26-scale bank on real multichip)
+        sp_sharding = (
+            NamedSharding(mesh, P()) if mesh is not None else None
+        )
+        sp_dev = [
+            jax.device_put(jnp.asarray(s), sp_sharding)
+            if sp_sharding is not None
+            else jax.device_put(jnp.asarray(s))
+            for s in spectra
+        ]
         batched = jax.vmap(
             lambda im, sp: single(im, None, sp), in_axes=(0, None)
         )

@@ -200,7 +200,15 @@ def root_scores(
     vws: List[np.ndarray] = []
     for b, bucket in enumerate(plan.buckets):
         if engine == "fourier" and fft_spectra is not None:
-            # serving: cached conjugate filter spectra as runtime args
+            # serving: cached conjugate filter spectra as runtime args.
+            # Serving-only by construction: spectra are host-precomputed
+            # from packed.filters, so a training caller threading traced
+            # params here would silently detach filter gradients
+            assert params is None, (
+                "fft_spectra is a serving-path cache of packed.filters; "
+                "training (params is not None) must let the engine "
+                "derive spectra from the traced filters"
+            )
             resp = conv(feats[b], filters, fft_spectra[b])
         elif engine == "fourier" and params is None:
             # small-model fallback: bake the conjugate filter spectra as
