@@ -162,14 +162,15 @@ def filter_responses_fft(
 
 
 def _dft_precision():
-    """Matmul precision for the DFT transforms. HIGHEST (6-pass f32
-    emulation on the bf16 MXU) is exact but ~2-3x the passes of HIGH
-    (3-pass); transform sums are short (<= 170 taps), so HIGH keeps
-    response error ~1e-4 — well inside the engine parity budget (5e-3).
-    Override with PBD_FFT_PRECISION=high|highest."""
+    """Matmul precision for the DFT transforms. HIGHEST measured
+    FASTER than HIGH on the v5e backend for these einsums (79 vs
+    113 ms whole-program, tools A/B 2026-08-21: XLA's f32 path beats
+    the 3-pass bf16 emulation at these skinny shapes) and is exact —
+    so it is the default on both counts. Override with
+    PBD_FFT_PRECISION=high|highest for probes."""
     import os
 
-    name = os.environ.get("PBD_FFT_PRECISION", "high").upper()
+    name = os.environ.get("PBD_FFT_PRECISION", "highest").upper()
     return getattr(jax.lax.Precision, name)
 
 
