@@ -264,26 +264,31 @@ class PartsBasedDetector:
         buf = []  # (out, depth) pairs not yet grouped into a chunk
         ready = deque()  # per-frame results popped from finished chunks
 
-        def finish_chunk(chunk):
-            # ONE pipelined device_get over every output in the chunk
-            hosts = jax.device_get([out for out, _ in chunk])
+        def finish_chunk(payload):
+            # ONE packed wire transfer for the whole chunk: the tunnel
+            # pays a ~30 ms round trip per device read regardless of
+            # payload, so the chunk's outputs were concatenated into a
+            # single (k, M) f32 buffer on device at flush time
+            # (_packer); here a single np.asarray brings it back
+            packed_buf, depths, wk = payload
+            host = np.asarray(packed_buf)
             results = []
-            for (out, depth), host in zip(chunk, hosts):
-                boxes, scores, comps, valid, mixtures = host[:5]
-                if len(host) > 5:
+            for j, depth in enumerate(depths):
+                bx, sc, cp, vd, mx, keep = self._unpack_host(host[j], wk)
+                if keep is not None:
                     # device-side depth-consistency filter: apply the
                     # precomputed keep mask; no host depth pass
-                    valid = valid & host[5]
+                    vd = vd & keep
                 res = DetectionResult(
-                    boxes=boxes,
-                    scores=scores,
-                    components=comps,
-                    valid=valid,
+                    boxes=bx,
+                    scores=sc,
+                    components=cp,
+                    valid=vd,
                     nparts_by_component=nbc,
-                    mixtures=mixtures,
+                    mixtures=mx,
                 )
                 cands = res.to_candidates()
-                if depth is not None and len(host) <= 5:
+                if depth is not None and not wk:
                     from .depth import filter_candidates_by_depth
 
                     cands = filter_candidates_by_depth(
@@ -298,12 +303,19 @@ class PartsBasedDetector:
             if buf:
                 chunk = list(buf)
                 buf.clear()
+                outs = [o for o, _ in chunk]
+                wk = len(outs[0]) > 5
+                payload = (
+                    self._packer(len(outs), wk)(outs),
+                    [d for _, d in chunk],
+                    wk,
+                )
                 pend.append(
                     (
                         len(chunk),
-                        pool.submit(finish_chunk, chunk)
+                        pool.submit(finish_chunk, payload)
                         if pool
-                        else chunk,
+                        else payload,
                     )
                 )
 
@@ -335,10 +347,23 @@ class PartsBasedDetector:
                 )
                 fn = self._get_fn(im.shape[:2], gated=with_depth)
                 if with_depth:
-                    out = fn(
-                        _upload(im, self.wire_dtype),
-                        _upload_depth(depth),
+                    # ONE fused device_put for the (rgb, depth) pair —
+                    # two calls pay two tunnel round trips (measured
+                    # 7.9 vs 1.8 ms; tools/upload_probe.py)
+                    im_w = (
+                        im
+                        if im.dtype == np.uint8
+                        else im.astype(
+                            np.dtype(self.wire_dtype), copy=False
+                        )
                     )
+                    d_w = (
+                        depth
+                        if depth.dtype == np.uint16
+                        else np.asarray(depth, np.float32)
+                    )
+                    im_dev, d_dev = jax.device_put((im_w, d_w))
+                    out = fn(im_dev, d_dev)
                 else:
                     out = fn(_upload(im, self.wire_dtype))
                 buf.append((out, depth))
@@ -359,6 +384,77 @@ class PartsBasedDetector:
             if pool:
                 pool.shutdown(wait=False)
 
+    # -- packed readback -------------------------------------------------------
+
+    def _packer(
+        self, k: int, with_keep: bool = False, top: Optional[int] = None
+    ):
+        """Jitted on-device output packer: k detection-output tuples ->
+        ONE (k, M) float32 buffer. The tunneled backend pays a
+        per-device_get round trip (~30 ms measured, payload-size
+        independent for these sizes; tools/upload_probe.py), so reading
+        five small leaves per frame dominates fresh-frame serving wall
+        clock. Packing k frames' outputs into a single array on device
+        (bitcasting int leaves to f32 — exact) makes the readback ONE
+        transfer per k frames. top (optional) additionally truncates
+        each frame to its best `top` candidates before packing (outputs
+        are score-sorted on device): the down-wire shares the same
+        ~36 MB/s serialized tunnel as the uploads, so a 256-candidate
+        frame's 136 KB payload costs ~3.8 ms of wire — top=64 cuts it
+        4x for throughput serving. Host-side unpack is numpy slicing
+        (_unpack_host)."""
+        key = ("pack", int(k), bool(with_keep), top)
+        if key not in self._fns:
+
+            def pack1(o):
+                if top is not None:
+                    o = tuple(x[:top] for x in o)
+                parts = [
+                    o[0].reshape(-1).astype(jnp.float32),  # boxes
+                    o[1].astype(jnp.float32),  # scores
+                    jax.lax.bitcast_convert_type(
+                        o[2].astype(jnp.int32), jnp.float32
+                    ),  # components
+                    o[3].astype(jnp.float32),  # valid
+                    jax.lax.bitcast_convert_type(
+                        o[4].astype(jnp.int32), jnp.float32
+                    ).reshape(-1),  # mixtures
+                ]
+                if with_keep:
+                    parts.append(o[5].astype(jnp.float32))
+                return jnp.concatenate(parts)
+
+            self._fns[key] = jax.jit(
+                lambda outs: jnp.stack([pack1(o) for o in outs])
+            )
+        return self._fns[key]
+
+    def _unpack_host(
+        self,
+        row: np.ndarray,
+        with_keep: bool = False,
+        top: Optional[int] = None,
+    ):
+        """Inverse of _packer for one frame's packed row."""
+        d = self.max_detections if top is None else top
+        p = self._packed.max_nparts
+        nb, ns = d * p * 4, d
+        off = 0
+        bx = row[off : off + nb].reshape(d, p, 4)
+        off += nb
+        sc = row[off : off + ns]
+        off += ns
+        cp = row[off : off + ns].view(np.int32)
+        off += ns
+        vd = row[off : off + ns] != 0.0
+        off += ns
+        mx = row[off : off + d * p].view(np.int32).reshape(d, p)
+        off += d * p
+        keep = None
+        if with_keep:
+            keep = row[off : off + ns] != 0.0
+        return bx, sc, cp, vd, mx, keep
+
     def detect_batch(self, images) -> List[List[Candidate]]:
         """Throughput API: dispatch every image asynchronously through
         the jitted pipeline and synchronize once — per-image host
@@ -371,26 +467,40 @@ class PartsBasedDetector:
             imv = validate_image(im, min_side=5 * self._packed.spec.sbin)
             fn = self._get_fn(imv.shape[:2])
             outs.append(fn(_upload(imv, self.wire_dtype)))
-        # one pipelined device->host gather for ALL outputs: device_get
-        # starts every leaf's copy before waiting, so the per-output
-        # tunnel RTT overlaps with the still-running queue (serial
-        # np.asarray reads cost ~10 ms RTT *per image* on the tunneled
-        # backend — measured in tools/batch64_probe.py)
-        outs = jax.device_get(outs)
+        # packed readback: each device_get/np.asarray round trip on the
+        # tunneled backend costs ~30 ms regardless of payload, so the
+        # per-frame 5-leaf output tuples are concatenated ON DEVICE into
+        # one (k, M) f32 buffer per group of PACK frames — one wire
+        # transfer per group instead of five per frame (tools/
+        # upload_probe.py, readback section). Exact: int leaves travel
+        # bitcast, bools as 0/1 floats.
+        PACK = 8
         results = []
         nbc = [c.nparts for c in self._packed.components]
-        for out in outs:
-            boxes, scores, comps, valid, mix = out
-            results.append(
-                DetectionResult(
-                    boxes=np.asarray(boxes),
-                    scores=np.asarray(scores),
-                    components=np.asarray(comps),
-                    valid=np.asarray(valid),
-                    nparts_by_component=nbc,
-                    mixtures=np.asarray(mix),
-                ).to_candidates()
-            )
+        packer = self._packer(PACK)
+        groups = []
+        for i in range(0, len(outs), PACK):
+            chunk = outs[i : i + PACK]
+            if len(chunk) == PACK:
+                groups.append((packer(chunk), PACK))
+            else:
+                groups.append(
+                    (self._packer(len(chunk))(chunk), len(chunk))
+                )
+        for buf, n in groups:
+            host = np.asarray(buf)
+            for j in range(n):
+                bx, sc, cp, vd, mx, _ = self._unpack_host(host[j])
+                results.append(
+                    DetectionResult(
+                        boxes=bx,
+                        scores=sc,
+                        components=cp,
+                        valid=vd,
+                        nparts_by_component=nbc,
+                        mixtures=mx,
+                    ).to_candidates()
+                )
         return results
 
     def detect_batch_fn(self, imsize: Tuple[int, int], batch: int):
@@ -424,7 +534,11 @@ class PartsBasedDetector:
         return self._fns[key]
 
     def detect_many(
-        self, images, microbatch: int = 1
+        self,
+        images,
+        microbatch: int = 1,
+        readback_top: Optional[int] = None,
+        prefetch: int = 0,
     ) -> List[List[Candidate]]:
         """High-throughput batch API: streams the request list through
         the chip with async dispatch and one pipelined sync.
@@ -435,12 +549,26 @@ class PartsBasedDetector:
         single-image program already keeps the chip ~95%+ occupied, so
         vmap only adds batched-gather glue (~2 ms/img). microbatch>1
         compiles a fused vmap program instead — useful when the model
-        is small enough that per-image dispatch can't fill the chip."""
+        is small enough that per-image dispatch can't fill the chip.
+
+        readback_top (optional): truncate each frame's readback to its
+        best `readback_top` candidates (score order is preserved) — on
+        the tunneled backend up- and down-wire share one ~36 MB/s
+        serialized channel, so the full 256-candidate payload costs
+        ~4 ms/frame of wire; top-64 makes fresh-frame serving
+        upload-bound (the theoretical wire ceiling). prefetch>0
+        additionally runs uploads on a worker thread `prefetch` frames
+        ahead of dispatch so the host-side upload serialization
+        overlaps the compute queue (micro=1 only)."""
         from .utils.profiling import validate_image
 
         if len(images) == 0:
             return []
         if microbatch == 1:
+            if prefetch > 0 or readback_top is not None:
+                return self._detect_many_pipelined(
+                    images, readback_top, max(prefetch, 1)
+                )
             return self.detect_batch(images)
         imgs = [
             validate_image(im, min_side=5 * self._packed.spec.sbin)
@@ -476,6 +604,81 @@ class PartsBasedDetector:
                         valid=valid[j],
                         nparts_by_component=nbc,
                         mixtures=mix[j],
+                    ).to_candidates()
+                )
+        return results
+
+    def _detect_many_pipelined(
+        self, images, readback_top: Optional[int], prefetch: int
+    ) -> List[List[Candidate]]:
+        """micro=1 serving loop tuned for the tunneled backend: ONE
+        uploader thread (parallel streams do not scale the channel —
+        measured 25.5/24.7/26.4 ms/frame for 1/2/4 streams,
+        tools/upload_probe.py) keeps `prefetch` uploads in flight ahead
+        of dispatch, outputs pack on device in groups of 8 (optionally
+        truncated to readback_top), and each group returns in one wire
+        transfer."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .utils.profiling import validate_image
+
+        imgs = [
+            validate_image(im, min_side=5 * self._packed.spec.sbin)
+            for im in images
+        ]
+        fn = self._get_fn(imgs[0].shape[:2])
+        assert all(im.shape[:2] == imgs[0].shape[:2] for im in imgs)
+        PACK = 8
+        packer = self._packer(PACK, top=readback_top)
+        pool = ThreadPoolExecutor(max_workers=1)
+        futs: deque = deque()
+        idx = 0
+        n = len(imgs)
+        outs: List = []
+        bufs: List[Tuple[object, int]] = []
+        try:
+            for _ in range(min(prefetch, n)):
+                futs.append(
+                    pool.submit(_upload, imgs[idx], self.wire_dtype)
+                )
+                idx += 1
+            while futs:
+                x = futs.popleft().result()
+                outs.append(fn(x))
+                if idx < n:
+                    futs.append(
+                        pool.submit(_upload, imgs[idx], self.wire_dtype)
+                    )
+                    idx += 1
+                if len(outs) == PACK:
+                    bufs.append((packer(outs), PACK))
+                    outs = []
+            if outs:
+                bufs.append(
+                    (
+                        self._packer(len(outs), top=readback_top)(outs),
+                        len(outs),
+                    )
+                )
+        finally:
+            pool.shutdown(wait=False)
+        nbc = [c.nparts for c in self._packed.components]
+        results: List[List[Candidate]] = []
+        for buf, k in bufs:
+            host = np.asarray(buf)
+            for j in range(k):
+                bx, sc, cp, vd, mx, _ = self._unpack_host(
+                    host[j], top=readback_top
+                )
+                results.append(
+                    DetectionResult(
+                        boxes=bx,
+                        scores=sc,
+                        components=cp,
+                        valid=vd,
+                        nparts_by_component=nbc,
+                        mixtures=mx,
                     ).to_candidates()
                 )
         return results

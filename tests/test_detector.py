@@ -133,6 +133,39 @@ def test_detect_many_matches_single():
     assert det.detect_many([]) == []
 
 
+def test_detect_many_pipelined_packed_matches_single():
+    """The tunneled-backend serving path: uploader-thread prefetch,
+    on-device output packing (one wire transfer per 8 frames), and
+    top-K readback truncation — results must match the synchronous
+    detect() exactly (packing bitcasts are lossless; top-K preserves
+    score order)."""
+    model = make_synthetic_model(
+        nparts=3, nmix=1, fsize=(4, 4), sbin=8, interval=2, thresh=-2.0,
+        seed=70,
+    )
+    rng = np.random.RandomState(0)
+    ims = [
+        (rng.rand(90, 100, 3) * 255).astype(np.float32)
+        for _ in range(10)  # exercises a full pack of 8 + a tail of 2
+    ]
+    det = PartsBasedDetector(model, max_detections=32)
+    singles = [det.detect(im) for im in ims]
+    got = det.detect_many(ims, prefetch=4)
+    for g, s in zip(got, singles):
+        assert len(g) == len(s)
+        for a, b in zip(g, s):
+            assert abs(a.score - b.score) < 1e-6
+            np.testing.assert_allclose(a.parts, b.parts, atol=1e-4)
+            assert a.component == b.component
+            assert list(a.mixtures) == list(b.mixtures)
+    # top-K truncation: prefix of the full candidate list
+    got_top = det.detect_many(ims, readback_top=4, prefetch=2)
+    for g, s in zip(got_top, singles):
+        assert len(g) == min(4, len(s))
+        for a, b in zip(g, s[:4]):
+            assert abs(a.score - b.score) < 1e-6
+
+
 def test_detect_uint8_matches_float32():
     """uint8 frames ship over the wire as uint8 and are cast to the
     compute dtype on device — detections must be value-identical to
