@@ -403,6 +403,7 @@ class PartsBasedDetector:
         frame's 136 KB payload costs ~3.8 ms of wire — top=64 cuts it
         4x for throughput serving. Host-side unpack is numpy slicing
         (_unpack_host)."""
+        top = self._norm_top(top)
         key = ("pack", int(k), bool(with_keep), top)
         if key not in self._fns:
 
@@ -429,6 +430,16 @@ class PartsBasedDetector:
             )
         return self._fns[key]
 
+    def _norm_top(self, top: Optional[int]) -> Optional[int]:
+        """Clamp a readback truncation to the program's candidate
+        budget; asking for >= max_detections is the full readback
+        (slicing beyond D would silently shrink the packed rows and
+        desync _unpack_host's offsets)."""
+        if top is None:
+            return None
+        top = min(int(top), self.max_detections)
+        return None if top == self.max_detections else top
+
     def _unpack_host(
         self,
         row: np.ndarray,
@@ -436,6 +447,7 @@ class PartsBasedDetector:
         top: Optional[int] = None,
     ):
         """Inverse of _packer for one frame's packed row."""
+        top = self._norm_top(top)
         d = self.max_detections if top is None else top
         p = self._packed.max_nparts
         nb, ns = d * p * 4, d

@@ -164,6 +164,11 @@ def test_detect_many_pipelined_packed_matches_single():
         assert len(g) == min(4, len(s))
         for a, b in zip(g, s[:4]):
             assert abs(a.score - b.score) < 1e-6
+    # top beyond the candidate budget = full readback, not a desync
+    got_over = det.detect_many(ims[:3], readback_top=10_000, prefetch=2)
+    for g, s in zip(got_over, singles):
+        assert len(g) == len(s)
+        assert abs(g[0].score - s[0].score) < 1e-6
 
 
 def test_detect_uint8_matches_float32():
