@@ -121,3 +121,30 @@ def test_device_filter_streaming_matches_sync():
         for a, b in zip(got, want):
             assert a.score == b.score
             np.testing.assert_array_equal(a.parts, b.parts)
+
+
+def test_device_filter_streaming_bench_shape_uint_wire():
+    """The bench config-5 serving shape: uint8 frames + uint16-mm
+    depth, readback_batch=2 (packed chunks of 2 incl. the keep mask,
+    with a tail chunk of 1), two readback workers — results must match
+    the synchronous uint-wire detect exactly."""
+    model, im, depth = _single_scale_fixture(seed=29)
+    det = PartsBasedDetector(model, max_detections=64,
+                             device_depth_filter=True)
+    frames = [
+        (
+            np.clip(im + i, 0, 255).astype(np.uint8),
+            ((depth + 0.05 * i) * 1000.0).astype(np.uint16),
+        )
+        for i in range(5)
+    ]
+    wants = [det.detect(rgb, d) for rgb, d in frames]
+    gots = list(
+        det.detect_stream(frames, lookahead=4, workers=2, readback_batch=2)
+    )
+    assert len(gots) == len(wants)
+    for got, want in zip(gots, wants):
+        assert len(got) == len(want) > 0
+        for a, b in zip(got, want):
+            assert a.score == b.score
+            np.testing.assert_array_equal(a.parts, b.parts)
