@@ -192,14 +192,15 @@ _WIRE_CACHE = [None]
 
 
 def wire_mbps() -> float:
-    """Median effective H2D bandwidth for fresh (non-dedupable) ~1.8 MB
-    payloads through the tunnel, measured NOW. The tunnel's single
-    serialized channel has measured anywhere from ~15 to ~45 MB/s
-    across hours (tools/upload_probe.py + bench history): fresh-frame
-    serving configs are wire-ceiling-bound, so their floor checks are
-    evaluated against min(static floor, 0.85 * wire-bound rate) with
-    every input recorded — the gate should fail when the FRAMEWORK
-    regresses, not when the shared tunnel is congested."""
+    """Sustained effective H2D bandwidth for fresh (non-dedupable)
+    ~0.92 MB serving-shaped payloads through the tunnel, measured NOW.
+    The tunnel's single serialized channel has measured anywhere from
+    ~15 to ~45 MB/s across hours (tools/upload_probe.py + bench
+    history): fresh-frame serving configs are wire-ceiling-bound, so
+    their floor checks are evaluated against min(static floor, 0.85 *
+    wire-bound rate) with every input recorded — the gate should fail
+    when the FRAMEWORK regresses, not when the shared tunnel is
+    congested."""
     if _WIRE_CACHE[0] is not None:
         return _WIRE_CACHE[0]
     import jax
@@ -208,14 +209,16 @@ def wire_mbps() -> float:
     # sustained measurement: 8 back-to-back distinct ~0.92 MB frames
     # (serving-shaped payloads), total bytes / total time — a single
     # timed put pays per-call RTT + TCP ramp and underestimates the
-    # bandwidth the pipelined serving loop actually gets
+    # bandwidth the pipelined serving loop actually gets. The warm-up
+    # payload is distinct from all timed ones: the tunnel dedupes
+    # repeated identical content, which would inflate the measurement.
     frames = [
-        rng.randint(0, 255, (960, 960), dtype=np.uint8) for _ in range(8)
+        rng.randint(0, 255, (960, 960), dtype=np.uint8) for _ in range(9)
     ]
     x = jax.device_put(frames[0])
-    jax.block_until_ready(x)  # connection warm-up
+    jax.block_until_ready(x)  # connection warm-up (distinct content)
     t0 = time.perf_counter()
-    xs = [jax.device_put(f) for f in frames]
+    xs = [jax.device_put(f) for f in frames[1:]]
     jax.block_until_ready(xs)
     dt = time.perf_counter() - t0
     mbps = 8 * 0.9216 / dt
@@ -408,6 +411,22 @@ def main():
     if fp is not None:
         prov["floor_pass"] = fp
     prov["provisional"] = True
+    # compact headline record FIRST (same contract as emit(): a
+    # truncated capture must still hold the number in <=200 bytes)
+    print(
+        json.dumps(
+            {
+                "config": 2,
+                "metric": HEADLINE["metric"],
+                "value": prov["value"],
+                "unit": "images/sec",
+                "vs_baseline": prov["vs_baseline"],
+                "floor_pass": fp,
+                "provisional": True,
+            }
+        ),
+        flush=True,
+    )
     print(json.dumps(prov), flush=True)
     _LAST[0] = time.perf_counter()
 
@@ -560,6 +579,20 @@ def main():
     fp = floor_pass(HEADLINE["metric"], HEADLINE["value"])
     if fp is not None:
         HEADLINE["floor_pass"] = fp
+    # compact final headline record first (truncation-proof)
+    print(
+        json.dumps(
+            {
+                "config": 2,
+                "metric": HEADLINE["metric"],
+                "value": HEADLINE["value"],
+                "unit": "images/sec",
+                "vs_baseline": HEADLINE["vs_baseline"],
+                "floor_pass": fp,
+            }
+        ),
+        flush=True,
+    )
     print(json.dumps(HEADLINE), flush=True)
     _LAST[0] = time.perf_counter()  # config-2 work ends here
 

@@ -259,7 +259,6 @@ class PartsBasedDetector:
 
         from .utils.profiling import validate_image
 
-        nbc = None
         pend = deque()  # futures (workers>0) or raw chunks, each = k frames
         buf = []  # (out, depth) pairs not yet grouped into a chunk
         ready = deque()  # per-frame results popped from finished chunks
@@ -271,31 +270,9 @@ class PartsBasedDetector:
             # single (k, M) f32 buffer on device at flush time
             # (_packer); here a single np.asarray brings it back
             packed_buf, depths, wk = payload
-            host = np.asarray(packed_buf)
-            results = []
-            for j, depth in enumerate(depths):
-                bx, sc, cp, vd, mx, keep = self._unpack_host(host[j], wk)
-                if keep is not None:
-                    # device-side depth-consistency filter: apply the
-                    # precomputed keep mask; no host depth pass
-                    vd = vd & keep
-                res = DetectionResult(
-                    boxes=bx,
-                    scores=sc,
-                    components=cp,
-                    valid=vd,
-                    nparts_by_component=nbc,
-                    mixtures=mx,
-                )
-                cands = res.to_candidates()
-                if depth is not None and not wk:
-                    from .depth import filter_candidates_by_depth
-
-                    cands = filter_candidates_by_depth(
-                        self._packed, cands, _depth_meters_host(depth)
-                    )
-                results.append(cands)
-            return results
+            return self._rows_to_candidates(
+                np.asarray(packed_buf), depths, wk
+            )
 
         pool = ThreadPoolExecutor(max_workers=workers) if workers else None
 
@@ -304,6 +281,9 @@ class PartsBasedDetector:
                 chunk = list(buf)
                 buf.clear()
                 outs = [o for o, _ in chunk]
+                # arity is homogeneous within a chunk: the append path
+                # flushes before mixing 5-leaf (no device keep mask)
+                # and 6-leaf (gated) outputs in one buffer
                 wk = len(outs[0]) > 5
                 payload = (
                     self._packer(len(outs), wk)(outs),
@@ -340,8 +320,6 @@ class PartsBasedDetector:
                 im = validate_image(
                     rgb, min_side=5 * self._packed.spec.sbin
                 )
-                if nbc is None:
-                    nbc = [c.nparts for c in self._packed.components]
                 with_depth = depth is not None and (
                     self.depth_gate is not None or self.device_depth_filter
                 )
@@ -357,15 +335,22 @@ class PartsBasedDetector:
                             np.dtype(self.wire_dtype), copy=False
                         )
                     )
+                    d_np = np.asarray(depth)
                     d_w = (
-                        depth
-                        if depth.dtype == np.uint16
-                        else np.asarray(depth, np.float32)
+                        d_np
+                        if d_np.dtype == np.uint16
+                        else d_np.astype(np.float32, copy=False)
                     )
                     im_dev, d_dev = jax.device_put((im_w, d_w))
                     out = fn(im_dev, d_dev)
                 else:
                     out = fn(_upload(im, self.wire_dtype))
+                if buf and len(buf[-1][0]) != len(out):
+                    # keep chunks arity-homogeneous: a stream mixing
+                    # gated (6-leaf) and plain (5-leaf) frames packs
+                    # them in separate chunks (the packer concatenates
+                    # a fixed leaf set per buffer)
+                    flush_buf()
                 buf.append((out, depth))
                 if len(buf) >= readback_batch:
                     flush_buf()
@@ -430,6 +415,44 @@ class PartsBasedDetector:
             )
         return self._fns[key]
 
+    def _rows_to_candidates(
+        self,
+        host: np.ndarray,
+        depths,
+        wk: bool = False,
+        top: Optional[int] = None,
+    ) -> List[List[Candidate]]:
+        """Shared packed-row assembly: unpack each frame's row, apply
+        the device keep mask (gated programs) or the host depth filter
+        (ungated frames that carried a depth map), and build the
+        candidate lists. depths: per-frame depth map or None."""
+        nbc = [c.nparts for c in self._packed.components]
+        results: List[List[Candidate]] = []
+        for j, depth in enumerate(depths):
+            bx, sc, cp, vd, mx, keep = self._unpack_host(
+                host[j], wk, top
+            )
+            if keep is not None:
+                # device-side depth-consistency filter: apply the
+                # precomputed keep mask; no host depth pass
+                vd = vd & keep
+            cands = DetectionResult(
+                boxes=bx,
+                scores=sc,
+                components=cp,
+                valid=vd,
+                nparts_by_component=nbc,
+                mixtures=mx,
+            ).to_candidates()
+            if depth is not None and not wk:
+                from .depth import filter_candidates_by_depth
+
+                cands = filter_candidates_by_depth(
+                    self._packed, cands, _depth_meters_host(depth)
+                )
+            results.append(cands)
+        return results
+
     def _norm_top(self, top: Optional[int]) -> Optional[int]:
         """Clamp a readback truncation to the program's candidate
         budget; asking for >= max_detections is the full readback
@@ -487,8 +510,7 @@ class PartsBasedDetector:
         # upload_probe.py, readback section). Exact: int leaves travel
         # bitcast, bools as 0/1 floats.
         PACK = 8
-        results = []
-        nbc = [c.nparts for c in self._packed.components]
+        results: List[List[Candidate]] = []
         packer = self._packer(PACK)
         groups = []
         for i in range(0, len(outs), PACK):
@@ -500,19 +522,9 @@ class PartsBasedDetector:
                     (self._packer(len(chunk))(chunk), len(chunk))
                 )
         for buf, n in groups:
-            host = np.asarray(buf)
-            for j in range(n):
-                bx, sc, cp, vd, mx, _ = self._unpack_host(host[j])
-                results.append(
-                    DetectionResult(
-                        boxes=bx,
-                        scores=sc,
-                        components=cp,
-                        valid=vd,
-                        nparts_by_component=nbc,
-                        mixtures=mx,
-                    ).to_candidates()
-                )
+            results.extend(
+                self._rows_to_candidates(np.asarray(buf), [None] * n)
+            )
         return results
 
     def detect_batch_fn(self, imsize: Tuple[int, int], batch: int):
@@ -582,6 +594,12 @@ class PartsBasedDetector:
                     images, readback_top, max(prefetch, 1)
                 )
             return self.detect_batch(images)
+        if prefetch > 0 or readback_top is not None:
+            raise ValueError(
+                "readback_top/prefetch belong to the microbatch=1 "
+                "pipelined path; the fused-vmap path (microbatch>1) "
+                "reads full batched outputs"
+            )
         imgs = [
             validate_image(im, min_side=5 * self._packed.spec.sbin)
             for im in images
@@ -640,7 +658,12 @@ class PartsBasedDetector:
             for im in images
         ]
         fn = self._get_fn(imgs[0].shape[:2])
-        assert all(im.shape[:2] == imgs[0].shape[:2] for im in imgs)
+        if any(im.shape[:2] != imgs[0].shape[:2] for im in imgs):
+            raise ValueError(
+                "detect_many's pipelined path requires same-shape "
+                "images (one compiled plan); mixed shapes go through "
+                "detect_batch (one program per shape)"
+            )
         PACK = 8
         packer = self._packer(PACK, top=readback_top)
         pool = ThreadPoolExecutor(max_workers=1)
@@ -675,24 +698,13 @@ class PartsBasedDetector:
                 )
         finally:
             pool.shutdown(wait=False)
-        nbc = [c.nparts for c in self._packed.components]
         results: List[List[Candidate]] = []
         for buf, k in bufs:
-            host = np.asarray(buf)
-            for j in range(k):
-                bx, sc, cp, vd, mx, _ = self._unpack_host(
-                    host[j], top=readback_top
+            results.extend(
+                self._rows_to_candidates(
+                    np.asarray(buf), [None] * k, top=readback_top
                 )
-                results.append(
-                    DetectionResult(
-                        boxes=bx,
-                        scores=sc,
-                        components=cp,
-                        valid=vd,
-                        nparts_by_component=nbc,
-                        mixtures=mx,
-                    ).to_candidates()
-                )
+            )
         return results
 
     def detect_fn(self, imsize: Tuple[int, int]):

@@ -135,13 +135,13 @@ def filter_responses_fft(
     f, fh, fw, fc = filters.shape
     assert c == fc
     dtype = features.dtype
+    if _fft_impl() == "matmul":
+        return _filter_responses_dft(
+            features, filters, spectra, (s, h, w, c, f, fh, fw)
+        )
     mm = lambda x, y: jnp.einsum(
         "shwc,hwcf->shwf", x, y, precision=jax.lax.Precision.HIGHEST
     )
-    if _fft_impl() == "matmul":
-        return _filter_responses_dft(
-            features, filters, spectra, mm, (s, h, w, c, f, fh, fw)
-        )
     feat_f = jnp.fft.rfft2(jnp.transpose(features, (0, 3, 1, 2)), s=(h, w))
     if spectra is None:
         filt_f = jnp.conj(
@@ -174,7 +174,7 @@ def _dft_precision():
     return getattr(jax.lax.Precision, name)
 
 
-def _filter_responses_dft(features, filters, spectra, mm, dims):
+def _filter_responses_dft(features, filters, spectra, dims):
     """DFT-as-matmul body: identical math, layout-specialized einsums
     (the transforms contract the h/w axes in place, so the NHWC feature
     stack never transposes). Differentiable (plain einsums), so the
@@ -210,8 +210,7 @@ def _filter_responses_dft(features, filters, spectra, mm, dims):
     else:
         sp = jnp.asarray(spectra)
         br, bi = sp[0], sp[1]
-    # channel contraction at the same precision as the transforms (the
-    # passed-in mm is the native path's HIGHEST variant)
+    # channel contraction at the same precision as the transforms
     mm = lambda x, y: jnp.einsum("shwc,hwcf->shwf", x, y, precision=hp)
     re = mm(ar, br) - mm(ai, bi)  # (S, h, wf, F)
     im = mm(ar, bi) + mm(ai, br)

@@ -123,6 +123,34 @@ def test_device_filter_streaming_matches_sync():
             np.testing.assert_array_equal(a.parts, b.parts)
 
 
+def test_streaming_mixed_depth_and_plain_frames():
+    """A stream interleaving (rgb, depth) pairs with bare rgb frames
+    must match per-frame sync detects: gated (6-leaf) and plain
+    (5-leaf) outputs cannot share a packed chunk, so the append path
+    flushes on arity change (regression: round-5 review found the
+    chunk's keep-mask arity was derived from its first frame only)."""
+    model, im, depth = _single_scale_fixture(seed=31)
+    det = PartsBasedDetector(model, max_detections=64,
+                             device_depth_filter=True)
+    frames = []
+    for i in range(6):
+        rgb = np.clip(im + i, 0, 255).astype(np.float32)
+        frames.append((rgb, depth + 0.05 * i) if i % 2 == 0 else rgb)
+    wants = [
+        det.detect(*(f if isinstance(f, tuple) else (f,)))
+        for f in frames
+    ]
+    gots = list(
+        det.detect_stream(frames, lookahead=4, workers=1, readback_batch=3)
+    )
+    assert len(gots) == len(wants)
+    for got, want in zip(gots, wants):
+        assert len(got) == len(want)
+        for a, b in zip(got, want):
+            assert a.score == b.score
+            np.testing.assert_array_equal(a.parts, b.parts)
+
+
 def test_device_filter_streaming_bench_shape_uint_wire():
     """The bench config-5 serving shape: uint8 frames + uint16-mm
     depth, readback_batch=2 (packed chunks of 2 incl. the keep mask,
