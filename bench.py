@@ -63,7 +63,10 @@ FLOORS_PATH = os.path.join(HERE, "tools", "perf_budget.json")
 try:
     with open(FLOORS_PATH) as _fh:
         FLOORS = json.load(_fh)
-except OSError:
+except Exception:
+    # a malformed floors file (hand-edited ratchets) must not kill the
+    # bench at import — the emission contract (headline always printed)
+    # outranks floor reporting
     FLOORS = {}
 
 HEADLINE = {
@@ -200,12 +203,15 @@ def wire_mbps() -> float:
     their floor checks are evaluated against min(static floor, 0.85 *
     wire-bound rate) with every input recorded — the gate should fail
     when the FRAMEWORK regresses, not when the shared tunnel is
-    congested."""
-    if _WIRE_CACHE[0] is not None:
-        return _WIRE_CACHE[0]
+    congested. Measured FRESH on every call (~1 s): the channel
+    drifts minute to minute, so each wire-bound config is judged
+    against the bandwidth adjacent to its own timed run."""
     import jax
 
-    rng = np.random.RandomState(123)
+    # unique content EVERY call: a fixed seed would re-upload identical
+    # frames on the second wire-bound config, and the tunnel dedupes
+    # repeated content (inflating the measured bandwidth)
+    rng = np.random.RandomState(int(time.perf_counter() * 1e6) % 2**31)
     # sustained measurement: 8 back-to-back distinct ~0.92 MB frames
     # (serving-shaped payloads), total bytes / total time — a single
     # timed put pays per-call RTT + TCP ramp and underestimates the
@@ -222,7 +228,7 @@ def wire_mbps() -> float:
     jax.block_until_ready(xs)
     dt = time.perf_counter() - t0
     mbps = 8 * 0.9216 / dt
-    _WIRE_CACHE[0] = mbps
+    _WIRE_CACHE[0] = mbps  # kept only for post-run inspection
     return mbps
 
 
@@ -275,6 +281,23 @@ def emit(config, metric, value, unit, vs_baseline, wire_frame_mb=None, **extra):
     line = dict(compact)
     line.update(extra)
     return line
+
+
+def emit_compact_headline(value, vs_baseline, fp, provisional=False):
+    """<=200-byte truncation-proof headline record (same contract as
+    emit()); shared by the provisional and final emissions so the two
+    records cannot structurally diverge."""
+    rec = {
+        "config": 2,
+        "metric": HEADLINE["metric"],
+        "value": value,
+        "unit": "images/sec",
+        "vs_baseline": vs_baseline,
+        "floor_pass": fp,
+    }
+    if provisional:
+        rec["provisional"] = True
+    print(json.dumps(rec), flush=True)
 
 
 def _match_boxes(bx_ref, sc_ref, vd_ref, bx, sc, vd, tol_px=0.75):
@@ -411,21 +434,8 @@ def main():
     if fp is not None:
         prov["floor_pass"] = fp
     prov["provisional"] = True
-    # compact headline record FIRST (same contract as emit(): a
-    # truncated capture must still hold the number in <=200 bytes)
-    print(
-        json.dumps(
-            {
-                "config": 2,
-                "metric": HEADLINE["metric"],
-                "value": prov["value"],
-                "unit": "images/sec",
-                "vs_baseline": prov["vs_baseline"],
-                "floor_pass": fp,
-                "provisional": True,
-            }
-        ),
-        flush=True,
+    emit_compact_headline(
+        prov["value"], prov["vs_baseline"], fp, provisional=True
     )
     print(json.dumps(prov), flush=True)
     _LAST[0] = time.perf_counter()
@@ -579,20 +589,7 @@ def main():
     fp = floor_pass(HEADLINE["metric"], HEADLINE["value"])
     if fp is not None:
         HEADLINE["floor_pass"] = fp
-    # compact final headline record first (truncation-proof)
-    print(
-        json.dumps(
-            {
-                "config": 2,
-                "metric": HEADLINE["metric"],
-                "value": HEADLINE["value"],
-                "unit": "images/sec",
-                "vs_baseline": HEADLINE["vs_baseline"],
-                "floor_pass": fp,
-            }
-        ),
-        flush=True,
-    )
+    emit_compact_headline(HEADLINE["value"], HEADLINE["vs_baseline"], fp)
     print(json.dumps(HEADLINE), flush=True)
     _LAST[0] = time.perf_counter()  # config-2 work ends here
 

@@ -31,38 +31,53 @@ from .types import Candidate, DetectionResult
 NEG_INF = -jnp.inf
 
 
-def _upload(im: np.ndarray, dtype) -> jax.Array:
-    """Ship an image to the device in its narrowest exact wire format.
-
-    uint8 frames (the camera/reference demo format, src/demo.cpp:90-99)
-    go over the wire as uint8 — 4x fewer bytes than host-side float
-    conversion — and are cast to the compute dtype ON DEVICE
+def _wire_image(im, dtype) -> np.ndarray:
+    """Host-side wire narrowing for images — THE single source of the
+    wire-format policy: uint8 frames (the camera/reference demo format,
+    src/demo.cpp:90-99) travel as uint8 — 4x fewer bytes than host-side
+    float conversion — and are cast to the compute dtype ON DEVICE
     (pipeline.root_scores casts at program entry, so the uint8 program
-    is value-identical to the float one). On a tunneled accelerator the
-    per-frame wire transfer is a first-order serving cost (~50 ms for a
-    VGA f32 frame at the measured ~75 MB/s effective execute-path
-    bandwidth; tools/stream_probe.py). jax.device_put is used instead
-    of jnp.asarray — asarray's blocking transfer measured 2-3x slower
-    inside a dispatch pipeline."""
+    is value-identical to the float one); float frames travel at the
+    detector's wire dtype."""
     im = np.asarray(im)
     if im.dtype == np.uint8:
-        return jax.device_put(im)
-    return jax.device_put(im.astype(np.dtype(dtype), copy=False))
+        return im
+    return im.astype(np.dtype(dtype), copy=False)
+
+
+def _wire_depth(depth) -> np.ndarray:
+    """Host-side wire narrowing for depth maps: uint16 frames are
+    Kinect-native millimeters (the reference demo reads exactly this
+    and divides by 1000, src/demo.cpp:95-99; the ROS node's 16UC1 path
+    is the same) — they travel as uint16 (4x fewer bytes than f32
+    meters) and convert to f32 meters ON DEVICE; floats travel as f32
+    meters."""
+    depth = np.asarray(depth)
+    if depth.dtype == np.uint16:
+        return depth
+    return depth.astype(np.float32, copy=False)
+
+
+def _upload(im: np.ndarray, dtype) -> jax.Array:
+    """device_put an image in its narrowest exact wire format
+    (_wire_image). On a tunneled accelerator the per-frame wire
+    transfer is a first-order serving cost; jax.device_put is used
+    instead of jnp.asarray — asarray's blocking transfer measured 2-3x
+    slower inside a dispatch pipeline."""
+    return jax.device_put(_wire_image(im, dtype))
 
 
 def _upload_depth(depth: np.ndarray) -> jax.Array:
-    """Ship a depth map in its narrowest exact wire format.
+    """device_put a depth map in its narrowest exact wire format
+    (_wire_depth)."""
+    return jax.device_put(_wire_depth(depth))
 
-    uint16 frames are Kinect-native millimeters (the reference demo
-    reads exactly this and divides by 1000, src/demo.cpp:95-99; the ROS
-    node's 16UC1 path is the same) — they go over the wire as uint16
-    (4x fewer bytes than f32 meters; the tunneled execute path pays
-    ~13 ms/MB) and are converted to f32 meters ON DEVICE. float inputs
-    are taken as meters."""
-    depth = np.asarray(depth)
-    if depth.dtype == np.uint16:
-        return jax.device_put(depth)
-    return jax.device_put(depth.astype(np.float32, copy=False))
+
+def _upload_pair(im, dtype, depth) -> tuple:
+    """ONE fused device_put for an (rgb, depth) pair — two separate
+    calls pay two tunnel round trips (measured 7.9 vs 1.8 ms;
+    tools/upload_probe.py)."""
+    return jax.device_put((_wire_image(im, dtype), _wire_depth(depth)))
 
 
 def _depth_meters_host(depth: np.ndarray) -> np.ndarray:
@@ -197,10 +212,8 @@ class PartsBasedDetector:
         )
         fn = self._get_fn(im.shape[:2], gated=with_depth)
         if with_depth:
-            out = fn(
-                _upload(im, self.wire_dtype),
-                _upload_depth(depth),
-            )
+            im_dev, d_dev = _upload_pair(im, self.wire_dtype, depth)
+            out = fn(im_dev, d_dev)
         else:
             out = fn(_upload(im, self.wire_dtype))
         # one pipelined device->host gather (device_get starts every
@@ -325,23 +338,9 @@ class PartsBasedDetector:
                 )
                 fn = self._get_fn(im.shape[:2], gated=with_depth)
                 if with_depth:
-                    # ONE fused device_put for the (rgb, depth) pair —
-                    # two calls pay two tunnel round trips (measured
-                    # 7.9 vs 1.8 ms; tools/upload_probe.py)
-                    im_w = (
-                        im
-                        if im.dtype == np.uint8
-                        else im.astype(
-                            np.dtype(self.wire_dtype), copy=False
-                        )
+                    im_dev, d_dev = _upload_pair(
+                        im, self.wire_dtype, depth
                     )
-                    d_np = np.asarray(depth)
-                    d_w = (
-                        d_np
-                        if d_np.dtype == np.uint16
-                        else d_np.astype(np.float32, copy=False)
-                    )
-                    im_dev, d_dev = jax.device_put((im_w, d_w))
                     out = fn(im_dev, d_dev)
                 else:
                     out = fn(_upload(im, self.wire_dtype))
@@ -394,6 +393,18 @@ class PartsBasedDetector:
 
             def pack1(o):
                 if top is not None:
+                    # valid rows must form a prefix before truncation:
+                    # thresholded top_k output is already score-sorted
+                    # with valid as a prefix, but device NMS suppresses
+                    # rows IN PLACE (valid=False interleaved), so slice
+                    # [:top] would drop valid candidates ranked below
+                    # suppressed ones. A stable partition by ~valid
+                    # keeps valid rows first in score order.
+                    valid = o[3]
+                    order = jnp.argsort(
+                        (~valid).astype(jnp.int32), stable=True
+                    )
+                    o = tuple(x[order] for x in o)
                     o = tuple(x[:top] for x in o)
                 parts = [
                     o[0].reshape(-1).astype(jnp.float32),  # boxes
@@ -460,7 +471,12 @@ class PartsBasedDetector:
         desync _unpack_host's offsets)."""
         if top is None:
             return None
-        top = min(int(top), self.max_detections)
+        top = int(top)
+        if top <= 0:
+            raise ValueError(
+                f"readback_top must be positive, got {top}"
+            )
+        top = min(top, self.max_detections)
         return None if top == self.max_detections else top
 
     def _unpack_host(

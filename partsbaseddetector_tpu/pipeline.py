@@ -166,8 +166,9 @@ def root_scores(
     a list the RAW (pre-masking, conv-dtype) per-bucket response stacks
     are appended to — the rescore_from_responses input.
 
-    fft_spectra (optional, fourier engine): one (feat_h, wf, C, F)
-    complex64 conjugate-filter-spectrum array per bucket, threaded as a
+    fft_spectra (optional, fourier engine): one (2, feat_h, wf, C, F)
+    float32 stacked [real, imag] conjugate-filter-spectrum array per
+    bucket (fft_filter_spectra's format), threaded as a
     RUNTIME argument through the jit boundary (see
     fourier_spectra_args). Without it the serving path bakes the
     spectra as program constants — correct, but a person26-scale bank's

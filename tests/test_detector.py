@@ -169,6 +169,33 @@ def test_detect_many_pipelined_packed_matches_single():
     for g, s in zip(got_over, singles):
         assert len(g) == len(s)
         assert abs(g[0].score - s[0].score) < 1e-6
+    with pytest.raises(ValueError):
+        det.detect_many(ims[:2], readback_top=0)
+    with pytest.raises(ValueError):
+        det.detect_many(ims[:2], microbatch=2, readback_top=4)
+
+
+def test_detect_many_readback_top_with_device_nms():
+    """Device NMS suppresses rows IN PLACE (valid=False interleaved in
+    score order), so top-K truncation must partition valid rows first
+    or it would drop valid candidates ranked below suppressed ones
+    (round-5 review finding). The truncated list must be a prefix of
+    detect()'s post-NMS candidates."""
+    model = make_synthetic_model(
+        nparts=3, nmix=1, fsize=(4, 4), sbin=8, interval=2, thresh=-5.0,
+        seed=70,
+    )
+    rng = np.random.RandomState(1)
+    ims = [(rng.rand(90, 100, 3) * 255).astype(np.float32) for _ in range(3)]
+    det = PartsBasedDetector(model, max_detections=64, nms_overlap=0.3)
+    singles = [det.detect(im) for im in ims]
+    assert any(len(s) > 2 for s in singles)
+    got = det.detect_many(ims, readback_top=2, prefetch=2)
+    for g, s in zip(got, singles):
+        assert len(g) == min(2, len(s))
+        for a, b in zip(g, s[:2]):
+            assert abs(a.score - b.score) < 1e-6
+            np.testing.assert_allclose(a.parts, b.parts, atol=1e-4)
 
 
 def test_detect_uint8_matches_float32():
